@@ -1,0 +1,20 @@
+from gridgcn_tpu.ops.voxelize import VoxelTable, build_voxel_table, capacity_stats
+from gridgcn_tpu.ops.sampling import sample_centers_rvs, sample_centers_cas
+from gridgcn_tpu.ops.gather import GroupedNodes, gather_nodes, center_positions
+from gridgcn_tpu.ops.cagq import CAGQOutput, cagq
+from gridgcn_tpu.ops.upsample import grid_three_nn, three_nn_interpolate
+
+__all__ = [
+    "VoxelTable",
+    "build_voxel_table",
+    "capacity_stats",
+    "sample_centers_rvs",
+    "sample_centers_cas",
+    "GroupedNodes",
+    "gather_nodes",
+    "center_positions",
+    "CAGQOutput",
+    "cagq",
+    "grid_three_nn",
+    "three_nn_interpolate",
+]

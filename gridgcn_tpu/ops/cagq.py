@@ -1,0 +1,49 @@
+"""Coverage-Aware Grid Query — the fused F-01→F-04 pipeline (SURVEY §3.2).
+
+This is the TPU-native equivalent of the reference's `gridify` custom op:
+voxel-table build → center sampling (RVS/CAS) → node-point gather, one call
+per GridConv layer. It is pure index computation (no parameters, no
+gradients — the reference's op registers a zero backward, SURVEY §2.1 F-06);
+indices flow into dense XLA gathers inside GCA.
+"""
+
+from __future__ import annotations
+
+import jax
+from flax import struct
+
+from gridgcn_tpu.configs.base import GridLayerSpec
+from gridgcn_tpu.ops.gather import GroupedNodes, gather_nodes
+from gridgcn_tpu.ops.sampling import sample_centers_cas, sample_centers_rvs
+from gridgcn_tpu.ops.voxelize import VoxelTable, build_voxel_table
+
+
+@struct.dataclass
+class CAGQOutput:
+    table: VoxelTable
+    groups: GroupedNodes
+
+
+def cagq(xyz: jax.Array, mask: jax.Array, spec: GridLayerSpec,
+         key: jax.Array) -> CAGQOutput:
+    """Run one layer's CAGQ: xyz [B, N, 3], mask [B, N] → centers + groups.
+
+    Index tensors are bitwise-deterministic for a fixed key (SURVEY §7 H6).
+    """
+    k_build, k_sample, k_gather = jax.random.split(key, 3)
+    table = build_voxel_table(xyz, mask, spec.resolution, spec.nv, k_build)
+
+    if spec.sampler == "rvs":
+        center_vids, center_valid = sample_centers_rvs(
+            table, spec.n_centers, k_sample)
+    elif spec.sampler == "cas":
+        center_vids, center_valid = sample_centers_cas(
+            table, spec.n_centers, k_sample, context=spec.context,
+            cas_iters=spec.cas_iters)
+    else:
+        raise ValueError(f"unknown sampler: {spec.sampler}")
+
+    groups = gather_nodes(table, xyz, center_vids, center_valid,
+                          spec.k_neighbors, spec.context, k_gather,
+                          center_mode=spec.center_mode)
+    return CAGQOutput(table=table, groups=groups)

@@ -1,0 +1,121 @@
+"""F-04: per-center node-point gather over the voxel context (SURVEY.md §2.1).
+
+The reference's CUDA kernel C walks the context neighborhood π(v) of each
+center voxel and emits ≤ K node-point indices, a validity mask, and per-node
+coverage weights (SURVEY §3.2). Here the walk is a dense static-shape gather:
+
+  candidates[M, P·nv] = slots[π(center)]       (P = context³)
+  node selection      = top-K of (mask-gated random scores)
+
+so node points are a uniform random K-subset of the valid candidates — the
+same semantics as the reference's randomized retention, fully deterministic
+under the PRNG key (SURVEY §7 H6). All outputs are padded/masked to static
+shapes for XLA.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from gridgcn_tpu.ops.gridutil import context_neighbors, vid_to_coords
+from gridgcn_tpu.ops.voxelize import VoxelTable
+
+
+@struct.dataclass
+class GroupedNodes:
+    """CAGQ grouping output consumed by GCA (one GridConv layer).
+
+    Attributes:
+      neighbor_idx:  [B, M, K] int32 — indices into the level's point array
+                     (0 where invalid; gate with neighbor_mask).
+      neighbor_mask: [B, M, K] bool.
+      node_coverage: [B, M, K] int32 — raw point count of each node's voxel,
+                     the GCA coverage weight (F-07).
+      center_xyz:    [B, M, 3].
+      center_valid:  [B, M] bool.
+      center_vids:   [B, M] int32 — linear voxel id of each center.
+    """
+
+    neighbor_idx: jax.Array
+    neighbor_mask: jax.Array
+    node_coverage: jax.Array
+    center_xyz: jax.Array
+    center_valid: jax.Array
+    center_vids: jax.Array
+
+
+def _gather_one(slots, coverage, center_vids, center_valid, xyz, key,
+                resolution: int, K: int, context: int, center_mode: str,
+                origin, vsize):
+    """Single-cloud gather; vmapped over the batch."""
+    V = resolution ** 3
+    nv = slots.shape[-1]
+    M = center_vids.shape[0]
+    P = context ** 3
+
+    nvid, inb = context_neighbors(center_vids, resolution, context)  # [M, P]
+    inb = inb & center_valid[:, None]
+
+    cand_idx = slots[nvid]                                  # [M, P, nv]
+    cand_cov = coverage[jnp.minimum(nvid, V - 1)]           # [M, P]
+    cand_valid = (cand_idx >= 0) & inb[..., None]
+
+    cand_idx = cand_idx.reshape(M, P * nv)
+    cand_valid = cand_valid.reshape(M, P * nv)
+    cand_cov = jnp.broadcast_to(cand_cov[..., None], (M, P, nv)).reshape(M, P * nv)
+
+    # Random K-subset of the valid candidates: valid scores live in (1, 2),
+    # invalid are 0, so top-K picks valid first and uniformly among them.
+    r = jax.random.uniform(key, (M, P * nv))
+    score = jnp.where(cand_valid, 1.0 + r, 0.0)
+    top_score, top_pos = jax.lax.top_k(score, K)            # [M, K]
+    neighbor_mask = top_score > 0.5
+    neighbor_idx = jnp.take_along_axis(cand_idx, top_pos, axis=-1)
+    neighbor_idx = jnp.where(neighbor_mask, neighbor_idx, 0)
+    node_coverage = jnp.where(
+        neighbor_mask, jnp.take_along_axis(cand_cov, top_pos, axis=-1), 0)
+
+    center_xyz = center_positions(
+        slots, center_vids, center_valid, xyz, resolution, center_mode,
+        origin, vsize)
+    return neighbor_idx, neighbor_mask, node_coverage, center_xyz
+
+
+def center_positions(slots, center_vids, center_valid, xyz, resolution: int,
+                     mode: str, origin, vsize):
+    """Group-center positions: stored-point barycenter or geometric voxel
+    center (paper §3.1 ambiguity → config flag, SURVEY §2.1 F-02)."""
+    V = resolution ** 3
+    safe_vid = jnp.minimum(center_vids, V - 1)
+    if mode == "barycenter":
+        cslots = slots[safe_vid]                              # [M, nv]
+        cvalid = (cslots >= 0) & center_valid[:, None]
+        pts = xyz[jnp.maximum(cslots, 0)]                     # [M, nv, 3]
+        w = cvalid[..., None].astype(xyz.dtype)
+        denom = jnp.maximum(jnp.sum(w, axis=-2), 1.0)
+        return jnp.sum(pts * w, axis=-2) / denom
+    elif mode == "voxel_center":
+        cx, cy, cz = vid_to_coords(safe_vid, resolution)
+        coords = jnp.stack([cx, cy, cz], -1).astype(xyz.dtype) + 0.5
+        c = origin + coords * vsize
+        return jnp.where(center_valid[:, None], c, 0.0)
+    raise ValueError(f"unknown center_mode: {mode}")
+
+
+def gather_nodes(table: VoxelTable, xyz: jax.Array, center_vids: jax.Array,
+                 center_valid: jax.Array, K: int, context: int,
+                 key: jax.Array, center_mode: str = "barycenter") -> GroupedNodes:
+    """Batched F-04 gather. xyz: [B, N, 3]; centers from F-02/F-03."""
+    B = xyz.shape[0]
+    keys = jax.random.split(key, B)
+    nidx, nmask, ncov, cxyz = jax.vmap(
+        lambda s, c, cv, va, x, k, o, vs: _gather_one(
+            s, c, cv, va, x, k, table.resolution, K, context, center_mode,
+            o, vs))(
+        table.slots, table.coverage, center_vids, center_valid, xyz, keys,
+        table.origin, table.vsize)
+    return GroupedNodes(neighbor_idx=nidx, neighbor_mask=nmask,
+                        node_coverage=ncov, center_xyz=cxyz,
+                        center_valid=center_valid, center_vids=center_vids)

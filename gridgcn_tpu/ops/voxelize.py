@@ -1,0 +1,143 @@
+"""F-01: fixed-capacity voxel-table build (SURVEY.md §2.1).
+
+The reference builds its voxel table with a CUDA kernel that atomically
+appends each point into its voxel's slot array (SURVEY §3.2 kernel A). TPUs
+have no atomics, so this implementation is **sort-based and race-free by
+construction** (SURVEY §7 H2):
+
+  1. shuffle points (random per-voxel retention, matching the reference's
+     "random nv subset after input shuffle" semantics),
+  2. stable-sort by voxel id (`jax.lax.sort` — fast on TPU),
+  3. rank-within-segment via a cumulative max over segment starts,
+  4. one scatter of `(voxel_id * nv + rank)` → point index.
+
+Everything is static-shape: the table is a dense `[V, nv]` index array in HBM
+(V = resolution³), `coverage` keeps the *raw* per-voxel point count (the GCA
+coverage weight, F-04/F-07), and `occupancy = min(coverage, nv)` counts stored
+slots. Dropped points (rank ≥ nv) are a capacity choice surfaced by
+`capacity_stats`, not a silent bug (SURVEY §7 H1).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class VoxelTable:
+    """Fixed-capacity voxel table for one grid level.
+
+    Attributes:
+      slots:      [B, V, nv] int32 — indices into the level's point array;
+                  -1 marks an empty slot.
+      occupancy:  [B, V] int32 — number of stored points per voxel (≤ nv).
+      coverage:   [B, V] int32 — raw number of points per voxel (un-capped);
+                  this is the coverage weight consumed by GCA attention.
+      point_vid:  [B, N] int32 — linear voxel id per input point (V for
+                  invalid/padded points). Used by CAS and the upsample query.
+      origin:     [B, 3] float — minimum corner of the grid.
+      vsize:      [B, 3] float — voxel edge lengths.
+      resolution: static int — grid is resolution³ voxels.
+      nv:         static int — slot capacity per voxel.
+    """
+
+    slots: jax.Array
+    occupancy: jax.Array
+    coverage: jax.Array
+    point_vid: jax.Array
+    origin: jax.Array
+    vsize: jax.Array
+    resolution: int = struct.field(pytree_node=False)
+    nv: int = struct.field(pytree_node=False)
+
+    @property
+    def num_voxels(self) -> int:
+        return self.resolution ** 3
+
+
+def voxel_ids(xyz: jax.Array, mask: jax.Array, origin: jax.Array,
+              vsize: jax.Array, resolution: int) -> jax.Array:
+    """Linear voxel id per point; invalid points get the sentinel id V."""
+    V = resolution ** 3
+    coords = jnp.floor((xyz - origin) / vsize).astype(jnp.int32)
+    coords = jnp.clip(coords, 0, resolution - 1)
+    vid = (coords[..., 0] * resolution + coords[..., 1]) * resolution + coords[..., 2]
+    return jnp.where(mask, vid, V)
+
+
+def grid_bounds(xyz: jax.Array, mask: jax.Array, resolution: int):
+    """Per-cloud grid origin and voxel size from the valid-point bounding box."""
+    big = jnp.asarray(jnp.finfo(xyz.dtype).max, xyz.dtype)
+    lo = jnp.min(jnp.where(mask[..., None], xyz, big), axis=-2)
+    hi = jnp.max(jnp.where(mask[..., None], xyz, -big), axis=-2)
+    extent = jnp.maximum(hi - lo, 1e-4)
+    # tiny inflation so points exactly at the max corner land inside the grid
+    vsize = extent * (1.0 + 1e-5) / resolution
+    return lo, vsize
+
+
+def _build_one(xyz: jax.Array, mask: jax.Array, perm: jax.Array,
+               resolution: int, nv: int):
+    """Single-cloud table build; vmapped over the batch."""
+    N = xyz.shape[0]
+    V = resolution ** 3
+
+    origin, vsize = grid_bounds(xyz, mask, resolution)
+    vid = voxel_ids(xyz, mask, origin, vsize, resolution)  # [N], V sentinel
+
+    # Shuffle, then stable sort by voxel id: within a voxel, point order is the
+    # random permutation, so the first nv slots are a uniform random subset —
+    # the reference's retention semantics (SURVEY §2.1 F-01).
+    vid_sh = vid[perm]
+    sorted_vid, sorted_pidx = jax.lax.sort((vid_sh, perm), num_keys=1)
+
+    idx = jnp.arange(N, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_vid[1:] != sorted_vid[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    rank = idx - seg_start
+
+    keep = (sorted_vid < V) & (rank < nv)
+    dest = jnp.where(keep, sorted_vid * nv + rank, V * nv)
+    slots = jnp.full((V * nv + 1,), -1, jnp.int32).at[dest].set(sorted_pidx)
+    slots = slots[: V * nv].reshape(V, nv)
+
+    coverage = jnp.zeros((V + 1,), jnp.int32).at[vid].add(1)[:V]
+    occupancy = jnp.minimum(coverage, nv)
+    return slots, occupancy, coverage, vid, origin, vsize
+
+
+def build_voxel_table(xyz: jax.Array, mask: jax.Array, resolution: int,
+                      nv: int, key: jax.Array) -> VoxelTable:
+    """Build fixed-capacity voxel tables for a batch of point clouds.
+
+    Args:
+      xyz:  [B, N, 3] point positions.
+      mask: [B, N] bool validity (padded points False).
+      resolution: grid edge; V = resolution³ voxels.
+      nv: per-voxel slot capacity.
+      key: PRNG key driving the random slot-retention shuffle.
+    """
+    B, N = xyz.shape[:2]
+    perms = jax.vmap(lambda k: jax.random.permutation(k, N).astype(jnp.int32))(
+        jax.random.split(key, B))
+    slots, occ, cov, vid, origin, vsize = jax.vmap(
+        lambda x, m, p: _build_one(x, m, p, resolution, nv))(xyz, mask, perms)
+    return VoxelTable(slots=slots, occupancy=occ, coverage=cov, point_vid=vid,
+                      origin=origin, vsize=vsize, resolution=resolution, nv=nv)
+
+
+def capacity_stats(table: VoxelTable) -> dict:
+    """Diagnostics for SURVEY §7 H1: how many points the capacity nv dropped."""
+    stored = jnp.sum(table.occupancy, axis=-1)
+    total = jnp.sum(table.coverage, axis=-1)
+    dropped = total - stored
+    return {
+        "stored_points": stored,
+        "total_points": total,
+        "dropped_points": dropped,
+        "dropped_frac": dropped / jnp.maximum(total, 1),
+        "occupied_voxels": jnp.sum(table.coverage > 0, axis=-1),
+    }
