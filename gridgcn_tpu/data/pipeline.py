@@ -1,0 +1,101 @@
+"""F-11/F-12/F-13 + host-side batching (SURVEY.md §2.3).
+
+Loaders produce whole-split numpy arrays once; batching is a thin shuffled
+iterator. Everything per-point (normalization, augmentation) runs on device
+inside the jitted train/eval step (BASELINE north_star: "data loading,
+normalization, and augmentation run as a jit-compiled preprocessing
+front-end"), so the host path is just `np.take` + `device_put`.
+
+Real-dataset loaders (ModelNet40 HDF5, S3DIS npy blocks, ScanNet pickle)
+activate when their files exist under `cfg.root`; otherwise `make_dataset`
+falls back to the synthetic generators so tests/bench run hermetically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+
+from gridgcn_tpu.configs.base import DataConfig
+from gridgcn_tpu.data import synthetic
+from gridgcn_tpu.data.modelnet40 import load_modelnet40
+from gridgcn_tpu.data.s3dis import load_s3dis
+from gridgcn_tpu.data.scannet import load_scannet
+
+
+@dataclasses.dataclass
+class Dataset:
+    """A fully materialized split: points [S,N,3], labels [S] or [S,N]."""
+    points: np.ndarray
+    labels: np.ndarray
+    features: Optional[np.ndarray] = None   # [S, N, C] extra per-point feats
+    task: str = "cls"
+    num_classes: int = 0
+
+    @property
+    def size(self) -> int:
+        return self.points.shape[0]
+
+    def steps_per_epoch(self, batch_size: int) -> int:
+        return max(1, self.size // batch_size)
+
+    def batches(self, batch_size: int, seed: int = 0,
+                shuffle: bool = True, drop_last: bool = True
+                ) -> Iterator[dict]:
+        """Yield one epoch of numpy batches (static batch size)."""
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(self.size) if shuffle else np.arange(self.size)
+        n = self.size
+        stop = (n // batch_size) * batch_size if drop_last else n
+        if stop == 0:
+            stop = n
+        for s in range(0, stop, batch_size):
+            idx = order[s:s + batch_size]
+            if len(idx) < batch_size:   # pad the final partial batch
+                pad = rng.choice(order, batch_size - len(idx))
+                idx = np.concatenate([idx, pad])
+            batch = {
+                "xyz": self.points[idx],
+                "label": self.labels[idx],
+                "mask": np.ones(self.points[idx].shape[:2], bool),
+            }
+            if self.features is not None:
+                batch["feat"] = self.features[idx]
+            yield batch
+
+
+def make_dataset(cfg: DataConfig, split: str, num_classes: int,
+                 task: str) -> Dataset:
+    """Build a split for a config; fall back to synthetic when files absent."""
+    root = cfg.root
+    if cfg.dataset == "modelnet40" and os.path.isdir(
+            os.path.join(root, "modelnet40_ply_hdf5_2048")):
+        pts, labels = load_modelnet40(root, split, cfg.num_points)
+        return Dataset(pts, labels, task="cls", num_classes=40)
+    if cfg.dataset == "s3dis" and os.path.isdir(os.path.join(root, "s3dis")):
+        pts, feats, labels = load_s3dis(root, split, cfg.num_points)
+        return Dataset(pts, labels, features=feats, task="seg",
+                       num_classes=13)
+    if cfg.dataset == "scannet" and os.path.isdir(
+            os.path.join(root, "scannet")):
+        pts, labels = load_scannet(root, split, cfg.num_points)
+        return Dataset(pts, labels, task="seg", num_classes=21)
+
+    # hermetic fallback (also cfg.dataset == 'synthetic')
+    n = 64 if split == "train" else 32
+    if task == "cls":
+        pts, labels = synthetic.synthetic_classification(
+            n, cfg.num_points, num_classes, seed=0 if split == "train" else 1)
+    else:
+        pts, labels = synthetic.synthetic_segmentation(
+            n, cfg.num_points, num_classes, seed=0 if split == "train" else 1)
+    feats = None
+    if cfg.num_feats > 0:
+        rng = np.random.default_rng(7)
+        feats = rng.uniform(0, 1, size=(n, cfg.num_points, cfg.num_feats)
+                            ).astype(np.float32)
+    return Dataset(pts, labels, features=feats, task=task,
+                   num_classes=num_classes)

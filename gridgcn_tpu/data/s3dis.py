@@ -1,0 +1,58 @@
+"""F-13: S3DIS loader (SURVEY.md §2.3).
+
+Room scans pre-blocked into 1m×1m columns of `num_points` points with 9-dim
+features (xyz, rgb, normalized room xyz) — the PointNet lineage format the
+reference consumes (paper §4.4). Expects `<root>/s3dis/` containing
+`s3dis_<split>_points.npy` [S, N, 9] and `s3dis_<split>_labels.npy` [S, N]
+(Area-5 split), or the standard `indoor3d_sem_seg_hdf5_data` distribution.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+_AREA5_PREFIX = "Area_5"
+
+
+def load_s3dis(root: str, split: str, num_points: int):
+    """Returns (xyz [S,N,3], feats [S,N,6] (rgb+normalized xyz), labels [S,N])."""
+    base = os.path.join(root, "s3dis")
+    npy_pts = os.path.join(base, f"s3dis_{split}_points.npy")
+    if os.path.exists(npy_pts):
+        pts = np.load(npy_pts).astype(np.float32)
+        labels = np.load(os.path.join(
+            base, f"s3dis_{split}_labels.npy")).astype(np.int32)
+    else:
+        pts, labels = _load_hdf5_blocks(base, split)
+    pts = pts[:, :num_points]
+    labels = labels[:, :num_points]
+    xyz = pts[..., :3]
+    feats = pts[..., 3:9] if pts.shape[-1] >= 9 else np.zeros(
+        (*xyz.shape[:2], 6), np.float32)
+    return xyz, feats, labels
+
+
+def _load_hdf5_blocks(base: str, split: str):
+    """Standard indoor3d_sem_seg_hdf5_data layout with room_filelist Area-5
+    holdout (the reference's evaluation protocol, paper §4.4)."""
+    import h5py
+
+    h5dir = os.path.join(base, "indoor3d_sem_seg_hdf5_data")
+    with open(os.path.join(h5dir, "all_files.txt")) as f:
+        files = [os.path.join(os.path.dirname(h5dir), line.strip())
+                 for line in f if line.strip()]
+    with open(os.path.join(h5dir, "room_filelist.txt")) as f:
+        rooms = [line.strip() for line in f if line.strip()]
+
+    data, labels = [], []
+    for fn in files:
+        with h5py.File(fn, "r") as h5:
+            data.append(np.asarray(h5["data"], np.float32))
+            labels.append(np.asarray(h5["label"], np.int32))
+    data = np.concatenate(data, 0)
+    labels = np.concatenate(labels, 0)
+    is_test = np.array([r.startswith(_AREA5_PREFIX) for r in rooms])
+    sel = is_test if split != "train" else ~is_test
+    return data[sel], labels[sel]

@@ -1,0 +1,110 @@
+"""F-07: Grid Context Aggregation module (SURVEY.md §2.2, §3.3; paper §3.2).
+
+Dense, static-shape flax implementation of the reference's GCA: for every
+(center i, node j) pair
+    edge feature   f̃_ij = MLP_e([f_j ; Δp_ij ; |Δp_ij|])
+    attention      e_ij = MLP_a([geo_ij ; coverage_j ; ctx_i])
+    output         out_i = MLP_post( pool_j ( mask ⊙ e_ij · f̃_ij ) )
+where coverage_j is the raw-point count of node j's voxel (computed by F-04)
+and ctx_i is the grid-context pooling summary — a cheap masked pool over the
+group's node features, reusing indices the gather already produced.
+
+Everything is [B, M, K, C] matmul work that XLA fuses and tiles onto the MXU;
+the 1×1-conv-as-Dense exactly mirrors the reference's shared-MLP trick on the
+framework-op layer (SURVEY §1 L1).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gridgcn_tpu.configs.base import GridLayerSpec
+
+_NEG_INF = -1e30
+
+
+class GCA(nn.Module):
+    spec: GridLayerSpec
+    dtype: jnp.dtype = jnp.float32
+    bn_momentum: float = 0.9
+
+    def _mlp(self, x, widths, mask, train: bool, name: str):
+        for li, w in enumerate(widths):
+            x = nn.Dense(w, dtype=self.dtype, name=f"{name}_dense{li}")(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=self.bn_momentum, dtype=self.dtype,
+                             name=f"{name}_bn{li}")(x)
+            x = nn.relu(x)
+            x = jnp.where(mask[..., None], x, 0.0)
+        return x
+
+    @nn.compact
+    def __call__(self, node_feat: Optional[jax.Array], delta_p: jax.Array,
+                 mask: jax.Array, coverage: jax.Array, train: bool = False):
+        """node_feat [B,M,K,C] or None, delta_p [B,M,K,3], mask [B,M,K],
+        coverage [B,M,K] int → [B, M, mlp[-1]] center features."""
+        spec = self.spec
+        delta_p = delta_p.astype(self.dtype)
+        dist = jnp.linalg.norm(delta_p + 1e-12, axis=-1, keepdims=True)
+        geo = jnp.concatenate([delta_p, dist], axis=-1)          # [B,M,K,4]
+        geo = jnp.where(mask[..., None], geo, 0.0)
+
+        parts = [geo] if node_feat is None else [
+            jnp.where(mask[..., None], node_feat.astype(self.dtype), 0.0), geo]
+        edge_in = jnp.concatenate(parts, axis=-1)
+
+        edge = self._mlp(edge_in, spec.mlp, mask, train, "edge")  # [B,M,K,Co]
+
+        # --- attention inputs ---
+        att_parts = [geo]
+        if spec.use_coverage:
+            cov = coverage.astype(self.dtype)
+            cov_sum = jnp.sum(jnp.where(mask, cov, 0.0), axis=-1, keepdims=True)
+            cov_norm = cov / jnp.maximum(cov_sum, 1.0)
+            att_parts.append(jnp.where(mask, cov_norm, 0.0)[..., None])
+            att_parts.append(jnp.where(mask, jnp.log1p(cov), 0.0)[..., None])
+        if spec.use_context_pool:
+            # Grid-context pooling: masked mean over the group's nodes —
+            # indices already exist, so this costs one reduction (F-07).
+            denom = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1)
+            ctx = jnp.sum(edge_in * mask[..., None], axis=-2) / denom
+            ctx = nn.Dense(spec.context_channels, dtype=self.dtype,
+                           name="ctx_dense")(ctx)
+            ctx = nn.relu(ctx)                                    # [B,M,Cctx]
+            att_parts.append(jnp.broadcast_to(
+                ctx[:, :, None, :], (*mask.shape, spec.context_channels)))
+        att_in = jnp.concatenate(att_parts, axis=-1)
+
+        a = nn.Dense(spec.att_hidden, dtype=self.dtype, name="att_dense0")(att_in)
+        a = nn.relu(a)
+        a = nn.Dense(1, dtype=self.dtype, name="att_dense1")(a)[..., 0]  # [B,M,K]
+        if spec.att_activation == "softmax":
+            a = jnp.where(mask, a, _NEG_INF)
+            att = jax.nn.softmax(a, axis=-1)
+            # scale so an all-uniform attention is the identity wrt max-pool
+            att = att * jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1)
+        elif spec.att_activation == "sigmoid":
+            att = jax.nn.sigmoid(a) * 2.0
+        else:
+            raise ValueError(f"unknown att_activation: {spec.att_activation}")
+        att = jnp.where(mask, att, 0.0)
+
+        weighted = edge * att[..., None]                          # [B,M,K,Co]
+
+        pooled = jnp.max(
+            jnp.where(mask[..., None], weighted, _NEG_INF), axis=-2)
+        group_valid = jnp.any(mask, axis=-1)
+        pooled = jnp.where(group_valid[..., None], pooled, 0.0)
+        if spec.pool == "maxsum":
+            denom = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1)
+            mean = jnp.sum(weighted * mask[..., None], axis=-2) / denom
+            pooled = jnp.concatenate([pooled, mean], axis=-1)
+            pooled = nn.Dense(spec.mlp[-1], dtype=self.dtype,
+                              name="pool_proj")(pooled)
+        elif spec.pool != "max":
+            raise ValueError(f"unknown pool: {spec.pool}")
+        return pooled

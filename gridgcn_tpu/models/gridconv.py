@@ -1,0 +1,59 @@
+"""F-08: GridConv block = CAGQ ∘ GCA — the network's only structural
+primitive (SURVEY.md §2.2, paper §3).
+
+CAGQ (pure index computation, no gradients) runs first; its indices drive
+dense XLA gathers of node positions/features, and GCA does the matmul work.
+PRNG for the sampling randomness is threaded through flax's rng mechanism
+under the name 'cagq' so a fixed rng tree gives bitwise-identical index
+tensors (SURVEY §7 H6).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gridgcn_tpu.configs.base import GridLayerSpec
+from gridgcn_tpu.models.gca import GCA
+from gridgcn_tpu.ops.cagq import cagq
+
+
+def gather_point_features(feat: jax.Array, idx: jax.Array) -> jax.Array:
+    """Batched take: feat [B, N, C], idx [B, M, K] → [B, M, K, C]."""
+    return jax.vmap(lambda f, i: f[i])(feat, idx)
+
+
+class GridConv(nn.Module):
+    spec: GridLayerSpec
+    dtype: jnp.dtype = jnp.float32
+    bn_momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, xyz: jax.Array, feat: Optional[jax.Array],
+                 mask: jax.Array, train: bool = False
+                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """One downsampling stage.
+
+        Args:
+          xyz:  [B, N, 3] level point positions.
+          feat: [B, N, C] level point features, or None at the input level.
+          mask: [B, N] validity.
+        Returns:
+          (center_xyz [B, M, 3], center_feat [B, M, Co], center_valid [B, M])
+        """
+        key = self.make_rng("cagq")
+        out = cagq(xyz, mask, self.spec, key)
+        g = out.groups
+
+        node_xyz = gather_point_features(xyz, g.neighbor_idx)     # [B,M,K,3]
+        delta_p = node_xyz - g.center_xyz[:, :, None, :]
+        node_feat = None if feat is None else gather_point_features(
+            feat, g.neighbor_idx)
+
+        center_feat = GCA(self.spec, dtype=self.dtype,
+                          bn_momentum=self.bn_momentum, name="gca")(
+            node_feat, delta_p, g.neighbor_mask, g.node_coverage, train=train)
+        return g.center_xyz, center_feat, g.center_valid

@@ -1,0 +1,46 @@
+"""Data-parallel train/eval steps under GSPMD (SURVEY.md §2.4 F-19).
+
+`jax.jit` with explicit in/out shardings: the batch is split over the 'data'
+mesh axis, the train state is replicated, and XLA partitions the whole step —
+CAGQ index building runs shard-locally (each chip voxelizes its own clouds;
+point clouds are independent, so no halo traffic exists in DP), and the
+gradient all-reduce rides ICI as a compiler-inserted psum. BatchNorm uses
+shard-local statistics, matching the reference's per-GPU BN behavior.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gridgcn_tpu.configs.base import Config
+from gridgcn_tpu.parallel.mesh import batch_sharding, replicated
+from gridgcn_tpu.train.steps import build_eval_step, build_train_step
+
+
+def _batch_shardings(batch_keys, mesh):
+    sh = batch_sharding(mesh)
+    return {k: sh for k in batch_keys}
+
+
+def make_parallel_train_step(cfg: Config, model, mesh, sched=None,
+                             batch_keys=("xyz", "label", "mask")):
+    """DP version of train.steps.make_train_step: state replicated, batch
+    sharded on the 'data' axis, state output kept replicated."""
+    rep = replicated(mesh)
+    return jax.jit(
+        build_train_step(cfg, model, sched=sched),
+        in_shardings=(rep, _batch_shardings(batch_keys, mesh), rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def make_parallel_eval_step(cfg: Config, model, mesh,
+                            batch_keys=("xyz", "label", "mask")):
+    rep = replicated(mesh)
+    return jax.jit(
+        build_eval_step(cfg, model),
+        in_shardings=(rep, _batch_shardings(batch_keys, mesh), rep),
+        out_shardings=rep,
+    )

@@ -1,0 +1,60 @@
+"""F-19/F-24: device mesh + sharding helpers (SURVEY.md §2.4).
+
+The reference's only parallelism is single-host MXNet data parallelism with
+KVStore gradient reduction (F-19/F-24). The TPU-native equivalent is GSPMD:
+a 1-D `jax.sharding.Mesh` over the chips, batch dimension sharded with
+`NamedSharding(P('data'))`, parameters replicated, and XLA inserting the
+gradient `psum` and metric reductions over ICI automatically — there is no
+NCCL/KVStore analog to hand-write. Multi-host extends the same mesh over DCN
+via `jax.distributed.initialize` (call `maybe_init_distributed`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(num_devices: Optional[int] = None,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """1-D data-parallel mesh over the available chips."""
+    devs = list(devices) if devices is not None else jax.devices()
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    return Mesh(np.array(devs), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dimension split across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """device_put every array in a batch dict with its batch dim sharded."""
+    sh = batch_sharding(mesh)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def replicate_tree(tree: Any, mesh: Mesh) -> Any:
+    rep = replicated(mesh)
+    return jax.device_put(tree, rep)
+
+
+def maybe_init_distributed():
+    """Initialize multi-host JAX when launched under a multi-process runtime.
+
+    Safe no-op on a single host; on a TPU pod each process calls this before
+    any backend use and the mesh then spans all hosts' devices over DCN.
+    """
+    import os
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()

@@ -1,0 +1,89 @@
+"""F-16: evaluation driver CLI (SURVEY.md §2.3, §3.5).
+
+    python -m gridgcn_tpu.train.evaluate --ckpt-dir checkpoints [--latency]
+
+Restores the latest checkpoint (config travels with it), runs the eval split
+through the confusion-matrix accumulator, and reports OA / mean-class-acc /
+mIoU. `--latency` additionally times the synced forward pass (the reference's
+latency-table protocol, F-18 lives in bench.py for the headline metric).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+from gridgcn_tpu.configs.base import to_json
+from gridgcn_tpu.data.pipeline import make_dataset
+from gridgcn_tpu.models.build import init_model
+from gridgcn_tpu.train.metrics import summarize_confusion
+from gridgcn_tpu.train.steps import create_train_state, make_eval_step
+from gridgcn_tpu.utils.checkpoint import CheckpointManager
+from gridgcn_tpu.utils.logging import MetricLogger
+
+
+def evaluate(ckpt_dir: str, latency: bool = False, log_path=None):
+    cfg = CheckpointManager.load_config(ckpt_dir)
+    log = MetricLogger(log_path)
+    log.log("config", name=cfg.name, config=to_json(cfg))
+
+    model, variables = init_model(cfg, seed=cfg.train.seed)
+    state = create_train_state(cfg, model, variables, steps_per_epoch=1)
+    ckpt = CheckpointManager(ckpt_dir, cfg, keep=cfg.train.keep_ckpts)
+    restored = ckpt.restore(state)
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+    state = restored["state"]
+
+    val_ds = make_dataset(cfg.data, "test", cfg.model.num_classes,
+                          cfg.model.task)
+    eval_step = make_eval_step(cfg, model)
+    rng = jax.random.PRNGKey(0)
+
+    cm = jnp.zeros((cfg.model.num_classes, cfg.model.num_classes), jnp.int32)
+    t0, n_batches = time.time(), 0
+    for batch in val_ds.batches(cfg.data.eval_batch_size, seed=0,
+                                shuffle=False, drop_last=False):
+        cm = cm + eval_step(state, {k: jax.device_put(v)
+                                    for k, v in batch.items()}, rng)
+        n_batches += 1
+    cm.block_until_ready()
+    s = summarize_confusion(cm)
+    log.log("eval", step=int(state.step),
+            overall_acc=float(s["overall_acc"]),
+            mean_class_acc=float(s["mean_class_acc"]),
+            miou=float(s["miou"]),
+            iou_per_class=[round(float(x), 4) for x in s["iou_per_class"]],
+            wall_s=round(time.time() - t0, 3))
+
+    if latency:
+        batch = next(val_ds.batches(cfg.data.eval_batch_size, seed=0,
+                                    shuffle=False))
+        dev = {k: jax.device_put(v) for k, v in batch.items()}
+        eval_step(state, dev, rng).block_until_ready()   # warmup/compile
+        iters = 20
+        t0 = time.time()
+        for _ in range(iters):
+            eval_step(state, dev, rng).block_until_ready()
+        dt = (time.time() - t0) / iters
+        log.log("latency", batch_ms=round(dt * 1000, 3),
+                points_per_sec=cfg.data.eval_batch_size
+                * cfg.data.num_points / dt)
+    log.close()
+    return s
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="gridgcn_tpu evaluator")
+    p.add_argument("--ckpt-dir", required=True)
+    p.add_argument("--latency", action="store_true")
+    p.add_argument("--log", default=None)
+    args = p.parse_args(argv)
+    evaluate(args.ckpt_dir, latency=args.latency, log_path=args.log)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""F-15: jitted train/eval steps (SURVEY.md §2.3, §3.1).
+
+The whole step — on-device augmentation (F-14), CAGQ index building, forward,
+loss, backward, optimizer — is one jit region, so nothing round-trips to the
+host (the reference's host-side data iterator bottleneck is gone, SURVEY
+§3.1). Gradients flow through the dense GCA math only; CAGQ emits integer
+index tensors which XLA treats as non-differentiable, matching the
+reference's zero-backward custom op (F-06).
+
+PRNG discipline (SURVEY §7 H6): one key per step derived by folding the step
+counter into the run key; split into augment / cagq / dropout streams.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+from flax.training import train_state
+
+from gridgcn_tpu.configs.base import Config
+from gridgcn_tpu.data.augment import augment_batch
+from gridgcn_tpu.train.metrics import confusion_matrix
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def make_lr_schedule(cfg: Config, steps_per_epoch: int):
+    t = cfg.train
+    total = max(1, t.epochs * steps_per_epoch)
+    if t.lr_schedule == "cosine":
+        return optax.cosine_decay_schedule(t.lr, total, alpha=0.01)
+    if t.lr_schedule == "step":
+        return optax.exponential_decay(
+            t.lr, t.lr_decay_steps, t.lr_decay_rate, staircase=True)
+    if t.lr_schedule == "const":
+        return optax.constant_schedule(t.lr)
+    raise ValueError(f"unknown lr_schedule: {t.lr_schedule}")
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int):
+    t = cfg.train
+    sched = make_lr_schedule(cfg, steps_per_epoch)
+    if t.weight_decay > 0:
+        opt = optax.adamw(sched, weight_decay=t.weight_decay)
+    else:
+        opt = optax.adam(sched)
+    if t.grad_clip > 0:
+        opt = optax.chain(optax.clip_by_global_norm(t.grad_clip), opt)
+    return opt, sched
+
+
+def create_train_state(cfg: Config, model: nn.Module, variables: dict,
+                       steps_per_epoch: int) -> TrainState:
+    opt, _ = make_optimizer(cfg, steps_per_epoch)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=opt,
+    )
+
+
+def _loss_and_logits(cfg: Config, logits: jax.Array, batch: dict):
+    labels = batch["label"]
+    ls = cfg.train.label_smoothing
+    if cfg.model.task == "cls":
+        if ls > 0:
+            onehot = optax.smooth_labels(
+                jax.nn.one_hot(labels, cfg.model.num_classes), ls)
+            loss = optax.softmax_cross_entropy(logits, onehot).mean()
+        else:
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean()
+        acc = jnp.mean(jnp.argmax(logits, -1) == labels)
+        return loss, acc
+    # seg: per-point CE, masked
+    mask = batch["mask"]
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    denom = jnp.maximum(jnp.sum(mask), 1)
+    loss = jnp.sum(jnp.where(mask, ce, 0.0)) / denom
+    acc = jnp.sum(jnp.where(mask, jnp.argmax(logits, -1) == labels, False)
+                  ) / denom
+    return loss, acc
+
+
+def build_train_step(cfg: Config, model: nn.Module, sched=None):
+    """Raw (unjitted) (state, batch, rng) → (state, metrics) step."""
+
+    def step(state: TrainState, batch: dict, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        k_aug, k_cagq, k_drop = jax.random.split(rng, 3)
+        xyz, mask = augment_batch(batch["xyz"], batch["mask"], k_aug, cfg.data)
+        feat = batch.get("feat", None)
+
+        def loss_fn(params):
+            logits, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                xyz, feat, mask, train=True,
+                rngs={"cagq": k_cagq, "dropout": k_drop},
+                mutable=["batch_stats"])
+            loss, acc = _loss_and_logits(
+                cfg, logits, {**batch, "mask": mask})
+            return loss, (acc, updates)
+
+        (loss, (acc, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=updates["batch_stats"])
+        metrics = {"loss": loss, "acc": acc,
+                   "grad_norm": optax.global_norm(grads)}
+        if sched is not None:
+            metrics["lr"] = sched(state.step)
+        return state, metrics
+
+    return step
+
+
+def make_train_step(cfg: Config, model: nn.Module, sched=None,
+                    donate: bool = True):
+    """Jitted (state, batch, rng) → (state, metrics) step."""
+    return jax.jit(build_train_step(cfg, model, sched),
+                   donate_argnums=(0,) if donate else ())
+
+
+def build_eval_step(cfg: Config, model: nn.Module):
+    """Raw (unjitted) (state, batch, rng) → confusion-matrix [C, C] step."""
+
+    def step(state: TrainState, batch: dict, rng: jax.Array):
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        logits = model.apply(
+            variables, batch["xyz"], batch.get("feat", None), batch["mask"],
+            train=False, rngs={"cagq": rng})
+        mask = batch["mask"] if cfg.model.task == "seg" else None
+        return confusion_matrix(logits, batch["label"],
+                                cfg.model.num_classes, mask)
+
+    return step
+
+
+def make_eval_step(cfg: Config, model: nn.Module):
+    """Jitted (state, batch, rng) → confusion-matrix [C, C] step."""
+    return jax.jit(build_eval_step(cfg, model))

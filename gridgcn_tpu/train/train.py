@@ -1,0 +1,135 @@
+"""F-15: training driver CLI (SURVEY.md §2.3, §3.1).
+
+    python -m gridgcn_tpu.train.train --preset modelnet40_full \
+        [--mesh N] [--epochs-override ...] [key=value ...]
+
+One CLI for every task (the reference has one script per task); the config
+preset decides classification vs segmentation. Checkpoints via orbax with
+auto-restore-latest; metrics as JSONL lines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gridgcn_tpu.configs import presets
+from gridgcn_tpu.configs.base import (
+    Config, apply_overrides, parse_cli_overrides, to_json)
+from gridgcn_tpu.data.pipeline import make_dataset
+from gridgcn_tpu.models.build import build_model, init_model
+from gridgcn_tpu.parallel.mesh import make_mesh, maybe_init_distributed, shard_batch
+from gridgcn_tpu.parallel.dp import make_parallel_eval_step, make_parallel_train_step
+from gridgcn_tpu.train.metrics import summarize_confusion
+from gridgcn_tpu.train.steps import (
+    create_train_state, make_eval_step, make_optimizer, make_train_step)
+from gridgcn_tpu.utils.checkpoint import CheckpointManager
+from gridgcn_tpu.utils.logging import MetricLogger
+
+
+def train(cfg: Config, mesh_devices: int = 0, log_path: str | None = None):
+    log = MetricLogger(log_path)
+    log.log("config", name=cfg.name, config=to_json(cfg))
+
+    train_ds = make_dataset(cfg.data, "train", cfg.model.num_classes,
+                            cfg.model.task)
+    val_ds = make_dataset(cfg.data, "test", cfg.model.num_classes,
+                          cfg.model.task)
+    steps_per_epoch = (cfg.train.steps_per_epoch
+                       or train_ds.steps_per_epoch(cfg.data.batch_size))
+
+    model, variables = init_model(cfg, seed=cfg.train.seed)
+    state = create_train_state(cfg, model, variables, steps_per_epoch)
+    _, sched = make_optimizer(cfg, steps_per_epoch)
+
+    mesh = make_mesh(mesh_devices) if mesh_devices else None
+    if mesh is not None:
+        batch_keys = ("xyz", "label", "mask") + (
+            ("feat",) if train_ds.features is not None else ())
+        train_step = make_parallel_train_step(cfg, model, mesh, sched,
+                                              batch_keys=batch_keys)
+        eval_step = make_parallel_eval_step(cfg, model, mesh,
+                                            batch_keys=batch_keys)
+    else:
+        train_step = make_train_step(cfg, model, sched)
+        eval_step = make_eval_step(cfg, model)
+
+    ckpt = CheckpointManager(cfg.train.ckpt_dir, cfg, keep=cfg.train.keep_ckpts)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    restored = ckpt.restore(state, rng)
+    start_epoch = 0
+    if restored is not None:
+        state, rng = restored["state"], restored.get("rng", rng)
+        start_epoch = int(state.step) // steps_per_epoch
+        log.log("restore", step=int(state.step), epoch=start_epoch)
+
+    def put(batch):
+        return shard_batch(batch, mesh) if mesh is not None else {
+            k: jax.device_put(v) for k, v in batch.items()}
+
+    for epoch in range(start_epoch, cfg.train.epochs):
+        t_ep = time.time()
+        losses, accs = [], []
+        for batch in train_ds.batches(cfg.data.batch_size,
+                                      seed=cfg.train.seed + epoch):
+            state, m = train_step(state, put(batch), rng)
+            losses.append(m["loss"])
+            accs.append(m["acc"])
+            if int(state.step) % cfg.train.log_every == 0:
+                log.log("train_step", step=int(state.step),
+                        loss=float(m["loss"]), acc=float(m["acc"]),
+                        lr=float(m.get("lr", cfg.train.lr)),
+                        grad_norm=float(m["grad_norm"]))
+        pts_per_sec = (steps_per_epoch * cfg.data.batch_size
+                       * cfg.data.num_points) / max(time.time() - t_ep, 1e-9)
+        log.log("epoch", epoch=epoch,
+                loss=float(np.mean(jax.device_get(losses))),
+                acc=float(np.mean(jax.device_get(accs))),
+                points_per_sec=pts_per_sec)
+
+        if (epoch + 1) % cfg.train.eval_every == 0 or epoch == cfg.train.epochs - 1:
+            cm = jnp.zeros((cfg.model.num_classes, cfg.model.num_classes),
+                           jnp.int32)
+            ek = jax.random.PRNGKey(10_000 + epoch)
+            for batch in val_ds.batches(cfg.data.eval_batch_size,
+                                        seed=0, shuffle=False,
+                                        drop_last=False):
+                cm = cm + eval_step(state, put(batch), ek)
+            s = summarize_confusion(cm)
+            log.log("eval", epoch=epoch,
+                    overall_acc=float(s["overall_acc"]),
+                    mean_class_acc=float(s["mean_class_acc"]),
+                    miou=float(s["miou"]))
+
+        if (epoch + 1) % cfg.train.ckpt_every == 0 or epoch == cfg.train.epochs - 1:
+            ckpt.save(int(state.step), jax.device_get(state),
+                      jax.device_get(rng))
+    ckpt.wait()
+    log.close()
+    return state
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="gridgcn_tpu trainer")
+    p.add_argument("--preset", default="modelnet40_full",
+                   choices=sorted(presets.PRESETS))
+    p.add_argument("--mesh", type=int, default=0,
+                   help="devices for data-parallel mesh (0 = single device)")
+    p.add_argument("--log", default=None, help="JSONL metrics file")
+    p.add_argument("overrides", nargs="*",
+                   help="config overrides, e.g. train.lr=3e-4")
+    args = p.parse_args(argv)
+
+    maybe_init_distributed()
+    cfg = presets.get(args.preset)
+    if args.overrides:
+        cfg = apply_overrides(cfg, parse_cli_overrides(args.overrides))
+    train(cfg, mesh_devices=args.mesh, log_path=args.log)
+
+
+if __name__ == "__main__":
+    main()

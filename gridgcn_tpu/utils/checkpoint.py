@@ -1,0 +1,64 @@
+"""Checkpoint / resume via orbax (SURVEY.md §5 'Checkpoint / resume').
+
+The reference saves MXNet `prefix-NNNN.params` per epoch and resumes via a
+`--load-epoch` flag. Here: orbax CheckpointManager with keep-last-k, saving
+the full train state (params + batch_stats + optimizer state + step), the
+PRNG key, and the serialized config so a checkpoint is self-describing.
+Restore-latest on start gives crash recovery (SURVEY §5 'Failure detection').
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from gridgcn_tpu.configs.base import Config, from_json, to_json
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, cfg: Config, keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.cfg = cfg
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, create=True),
+        )
+        cfg_path = os.path.join(self.directory, "config.json")
+        if not os.path.exists(cfg_path):
+            with open(cfg_path, "w") as f:
+                f.write(to_json(cfg))
+
+    def save(self, step: int, state: Any, rng: jax.Array | None = None):
+        payload = {"state": state}
+        if rng is not None:
+            payload["rng"] = rng
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state_template: Any, rng_template: jax.Array | None = None,
+                step: int | None = None):
+        """Restore (state, rng) at `step` (default latest); None if empty."""
+        step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            return None
+        payload = {"state": state_template}
+        if rng_template is not None:
+            payload["rng"] = rng_template
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(payload))
+        return restored
+
+    @staticmethod
+    def load_config(directory: str) -> Config:
+        with open(os.path.join(os.path.abspath(directory), "config.json")) as f:
+            return from_json(f.read())
