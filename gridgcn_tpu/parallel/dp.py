@@ -24,15 +24,19 @@ def _batch_shardings(batch_keys, mesh):
 
 
 def make_parallel_train_step(cfg: Config, model, mesh, sched=None,
-                             batch_keys=("xyz", "label", "mask")):
+                             batch_keys=("xyz", "label", "mask"),
+                             donate: bool = True):
     """DP version of train.steps.make_train_step: state replicated, batch
-    sharded on the 'data' axis, state output kept replicated."""
+    sharded on the 'data' axis, state output kept replicated.
+
+    `donate=False` keeps the input state alive (device_put onto the mesh can
+    alias the source buffers, so donation would invalidate the original)."""
     rep = replicated(mesh)
     return jax.jit(
         build_train_step(cfg, model, sched=sched),
         in_shardings=(rep, _batch_shardings(batch_keys, mesh), rep),
         out_shardings=(rep, rep),
-        donate_argnums=(0,),
+        donate_argnums=(0,) if donate else (),
     )
 
 

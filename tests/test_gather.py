@@ -1,0 +1,129 @@
+"""F-04 node gather invariants vs the NumPy oracle (SURVEY §4.2 #1, #2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gridgcn_tpu.configs.base import GridLayerSpec
+from gridgcn_tpu.ops import cagq
+from tests.oracle import oracle_np
+
+SPEC = GridLayerSpec(resolution=8, nv=4, n_centers=48, k_neighbors=16,
+                     context=3, sampler="rvs")
+
+
+def _run(key, B=2, N=400, spec=SPEC, pad=0):
+    xyz = jax.random.uniform(key, (B, N, 3), minval=-1.0, maxval=1.0)
+    mask = jnp.ones((B, N), bool)
+    if pad:
+        mask = mask.at[:, N - pad:].set(False)
+    return cagq(xyz, mask, spec, key), xyz, mask
+
+
+def test_nodes_within_context(rng_key):
+    out, xyz, mask = _run(rng_key)
+    g = out.groups
+    vid = np.asarray(out.table.point_vid)
+    nidx = np.asarray(g.neighbor_idx)
+    nmask = np.asarray(g.neighbor_mask)
+    cvid = np.asarray(g.center_vids)
+    r = (SPEC.context - 1) // 2
+    for b in range(xyz.shape[0]):
+        for m in range(SPEC.n_centers):
+            for k in range(SPEC.k_neighbors):
+                if not nmask[b, m, k]:
+                    continue
+                node_vid = vid[b, nidx[b, m, k]]
+                d = oracle_np.chebyshev_voxel_dist(
+                    node_vid, cvid[b, m], SPEC.resolution)
+                assert d <= r
+
+
+def test_node_coverage_is_voxel_count(rng_key):
+    out, xyz, mask = _run(rng_key)
+    g = out.groups
+    vid = np.asarray(out.table.point_vid)
+    cov = np.asarray(out.table.coverage)
+    nidx = np.asarray(g.neighbor_idx)
+    nmask = np.asarray(g.neighbor_mask)
+    ncov = np.asarray(g.node_coverage)
+    for b in range(xyz.shape[0]):
+        got = ncov[b][nmask[b]]
+        expect = cov[b][vid[b][nidx[b][nmask[b]]]]
+        np.testing.assert_array_equal(got, expect)
+
+
+def test_neighbor_count_saturates(rng_key):
+    """A center gets min(K, #candidates-in-context) nodes — never fewer."""
+    out, xyz, mask = _run(rng_key)
+    g = out.groups
+    table = out.table
+    slots = np.asarray(table.slots)
+    nmask = np.asarray(g.neighbor_mask)
+    cvid = np.asarray(g.center_vids)
+    cvalid = np.asarray(g.center_valid)
+    r = (SPEC.context - 1) // 2
+    res = SPEC.resolution
+    for b in range(xyz.shape[0]):
+        for m in range(SPEC.n_centers):
+            if not cvalid[b, m]:
+                assert nmask[b, m].sum() == 0
+                continue
+            x, y, z = oracle_np.vid_coords(np.array(cvid[b, m]), res)
+            n_cand = 0
+            for dx in range(-r, r + 1):
+                for dy in range(-r, r + 1):
+                    for dz in range(-r, r + 1):
+                        nx, ny, nz = x + dx, y + dy, z + dz
+                        if 0 <= nx < res and 0 <= ny < res and 0 <= nz < res:
+                            v = ((nx * res) + ny) * res + nz
+                            n_cand += (slots[b, v] >= 0).sum()
+            assert nmask[b, m].sum() == min(SPEC.k_neighbors, n_cand)
+
+
+def test_center_barycenter(rng_key):
+    out, xyz, mask = _run(rng_key)
+    g = out.groups
+    table = out.table
+    slots = np.asarray(table.slots)
+    xyz_np = np.asarray(xyz)
+    cxyz = np.asarray(g.center_xyz)
+    cvid = np.asarray(g.center_vids)
+    cvalid = np.asarray(g.center_valid)
+    for b in range(2):
+        for m in range(SPEC.n_centers):
+            if not cvalid[b, m]:
+                continue
+            stored = slots[b, cvid[b, m]]
+            stored = stored[stored >= 0]
+            assert len(stored) > 0
+            np.testing.assert_allclose(
+                cxyz[b, m], xyz_np[b, stored].mean(axis=0), rtol=1e-4,
+                atol=1e-5)
+
+
+def test_padding_invariance(rng_key):
+    """Mutating masked-out points must not change any CAGQ output
+    (SURVEY §4.2 #2 mask-correctness)."""
+    spec = SPEC
+    B, N, pad = 2, 400, 60
+    xyz = jax.random.uniform(rng_key, (B, N, 3), minval=-1.0, maxval=1.0)
+    mask = jnp.ones((B, N), bool).at[:, N - pad:].set(False)
+    out1, _, _ = _run(rng_key, B, N, spec, pad)  # regenerates same xyz/mask
+
+    garbage = xyz.at[:, N - pad:, :].set(123.456)
+    out2 = cagq(garbage, mask, spec, rng_key)
+
+    np.testing.assert_array_equal(np.asarray(out1.groups.neighbor_idx),
+                                  np.asarray(out2.groups.neighbor_idx))
+    np.testing.assert_array_equal(np.asarray(out1.groups.neighbor_mask),
+                                  np.asarray(out2.groups.neighbor_mask))
+    np.testing.assert_allclose(np.asarray(out1.groups.center_xyz),
+                               np.asarray(out2.groups.center_xyz))
+
+
+def test_index_determinism(rng_key):
+    out1, _, _ = _run(rng_key)
+    out2, _, _ = _run(rng_key)
+    np.testing.assert_array_equal(np.asarray(out1.groups.neighbor_idx),
+                                  np.asarray(out2.groups.neighbor_idx))

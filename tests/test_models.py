@@ -1,0 +1,63 @@
+"""F-07/F-08/F-09/F-10 model-level tests (SURVEY §4.2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gridgcn_tpu.configs import presets
+from gridgcn_tpu.models.build import build_model, example_inputs, init_model
+
+
+def _rngs():
+    return {"cagq": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+
+
+def test_classifier_forward(rng_key):
+    cfg = presets.get("synthetic_tiny")
+    model, variables = init_model(cfg)
+    xyz, feat, mask = example_inputs(cfg, batch_size=2)
+    logits = model.apply(variables, xyz, feat, mask, train=False,
+                         rngs=_rngs())
+    assert logits.shape == (2, cfg.model.num_classes)
+    assert bool(jnp.isfinite(logits).all())
+
+
+def test_segmentation_forward(rng_key):
+    cfg = presets.get("synthetic_tiny_seg")
+    model, variables = init_model(cfg)
+    xyz, feat, mask = example_inputs(cfg, batch_size=2)
+    logits = model.apply(variables, xyz, feat, mask, train=False,
+                         rngs=_rngs())
+    assert logits.shape == (2, cfg.data.num_points, cfg.model.num_classes)
+    assert bool(jnp.isfinite(logits).all())
+
+
+def test_classifier_padding_invariance(rng_key):
+    """Garbage in masked-out points must not change logits — the SURVEY §4.2
+    mask-leak property test, end-to-end through GCA."""
+    cfg = presets.get("synthetic_tiny")
+    model, variables = init_model(cfg)
+    B, N = 2, cfg.data.num_points
+    xyz = jax.random.uniform(rng_key, (B, N, 3), minval=-1, maxval=1)
+    mask = jnp.ones((B, N), bool).at[:, N - 40:].set(False)
+    l1 = model.apply(variables, xyz, None, mask, train=False, rngs=_rngs())
+    poisoned = xyz.at[:, N - 40:, :].set(77.7)
+    l2 = model.apply(variables, poisoned, None, mask, train=False,
+                     rngs=_rngs())
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
+def test_forward_deterministic_given_rngs(rng_key):
+    cfg = presets.get("synthetic_tiny")
+    model, variables = init_model(cfg)
+    xyz, feat, mask = example_inputs(cfg, batch_size=2)
+    l1 = model.apply(variables, xyz, feat, mask, train=False, rngs=_rngs())
+    l2 = model.apply(variables, xyz, feat, mask, train=False, rngs=_rngs())
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_all_presets_construct():
+    for name in presets.PRESETS:
+        cfg = presets.get(name)
+        model = build_model(cfg.model)
+        assert model is not None

@@ -1,0 +1,107 @@
+"""F-19/F-24 multi-chip tests on the 8-fake-device CPU mesh (SURVEY §4.2 #5).
+
+Asserts sharded inference ≡ single-device inference and that the DP train
+step runs and keeps state replicated."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gridgcn_tpu.configs import presets
+from gridgcn_tpu.data.pipeline import make_dataset
+from gridgcn_tpu.models.build import init_model
+from gridgcn_tpu.parallel.dp import (
+    make_parallel_eval_step, make_parallel_train_step)
+from gridgcn_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+from gridgcn_tpu.train.steps import (
+    create_train_state, make_eval_step, make_train_step)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 fake devices"
+    cfg = presets.get("synthetic_tiny")
+    model, variables = init_model(cfg)
+    ds = make_dataset(cfg.data, "train", cfg.model.num_classes, "cls")
+    state = create_train_state(cfg, model, variables, 8)
+    mesh = make_mesh(8)
+    return cfg, model, ds, state, mesh
+
+
+def test_sharded_eval_matches_single_device(setup):
+    cfg, model, ds, state, mesh = setup
+    batch = next(ds.batches(8, seed=0))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(3)
+
+    cm_single = make_eval_step(cfg, model)(state, batch, rng)
+
+    p_eval = make_parallel_eval_step(cfg, model, mesh)
+    cm_sharded = p_eval(replicate_tree(state, mesh),
+                        shard_batch(batch, mesh),
+                        replicate_tree(rng, mesh))
+    np.testing.assert_array_equal(np.asarray(cm_single),
+                                  np.asarray(cm_sharded))
+
+
+def test_parallel_train_step_runs(setup):
+    cfg, model, ds, state, mesh = setup
+    batch = next(ds.batches(8, seed=1))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(4)
+
+    p_step = make_parallel_train_step(cfg, model, mesh, donate=False)
+    new_state, metrics = p_step(replicate_tree(state, mesh),
+                                shard_batch(batch, mesh),
+                                replicate_tree(rng, mesh))
+    assert bool(jnp.isfinite(metrics["loss"]))
+    assert int(new_state.step) == int(state.step) + 1
+    # params changed and stayed finite
+    leaves = jax.tree.leaves(new_state.params)
+    assert all(bool(jnp.isfinite(x).all()) for x in leaves)
+
+
+def test_parallel_grads_match_single_device(setup):
+    """Sharded loss/grads equal single-device ones (up to fp reassociation).
+
+    Compares raw gradients, not post-Adam params: Adam divides by sqrt(v), so
+    near-zero-gradient entries amplify reassociation noise into O(lr)
+    param differences that say nothing about DP correctness."""
+    cfg, model, ds, state, mesh = setup
+    batch = next(ds.batches(8, seed=2))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(5)
+
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def loss_fn(params, batch, rng):
+        k_cagq, k_drop = jax.random.split(rng)
+        logits, _ = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["xyz"], None, batch["mask"], train=True,
+            rngs={"cagq": k_cagq, "dropout": k_drop},
+            mutable=["batch_stats"])
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, batch["label"]).mean()
+
+    grad_fn = jax.value_and_grad(loss_fn)
+    s_loss, s_grads = jax.jit(grad_fn)(state.params, batch, rng)
+
+    rep = NamedSharding(mesh, P())
+    sh = NamedSharding(mesh, P("data"))
+    p_grad_fn = jax.jit(grad_fn,
+                        in_shardings=(rep, {k: sh for k in batch}, rep),
+                        out_shardings=(rep, rep))
+    p_loss, p_grads = p_grad_fn(replicate_tree(state.params, mesh),
+                                shard_batch(batch, mesh),
+                                replicate_tree(rng, mesh))
+
+    np.testing.assert_allclose(float(s_loss), float(p_loss), rtol=1e-5)
+    # atol covers reassociation noise on near-zero grad entries; rtol
+    # guards the meaningful (large) entries.
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4),
+        jax.device_get(s_grads), jax.device_get(p_grads))

@@ -1,0 +1,75 @@
+"""F-15/F-16 integration: overfit gate + checkpoint roundtrip (SURVEY §4.2 #4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gridgcn_tpu.configs import presets
+from gridgcn_tpu.configs.base import apply_overrides
+from gridgcn_tpu.data.pipeline import make_dataset
+from gridgcn_tpu.models.build import init_model
+from gridgcn_tpu.train.steps import (
+    create_train_state, make_eval_step, make_train_step)
+from gridgcn_tpu.utils.checkpoint import CheckpointManager
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = presets.get("synthetic_tiny")
+    model, variables = init_model(cfg)
+    ds = make_dataset(cfg.data, "train", cfg.model.num_classes, "cls")
+    state = create_train_state(cfg, model, variables,
+                               ds.steps_per_epoch(cfg.data.batch_size))
+    return cfg, model, ds, state
+
+
+def test_overfit_synthetic(tiny_setup):
+    """The integration gate: tiny model overfits the synthetic set."""
+    cfg, model, ds, state = tiny_setup
+    step = make_train_step(cfg, model, donate=False)
+    rng = jax.random.PRNGKey(0)
+    last_acc = 0.0
+    for epoch in range(12):
+        accs = []
+        for batch in ds.batches(cfg.data.batch_size, seed=epoch):
+            state, m = step(state, {k: jnp.asarray(v)
+                                    for k, v in batch.items()}, rng)
+            accs.append(float(m["acc"]))
+        last_acc = float(np.mean(accs))
+    assert last_acc >= 0.9, f"failed to overfit: train acc {last_acc}"
+    assert bool(jnp.isfinite(m["loss"]))
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_setup):
+    cfg, model, ds, state = tiny_setup
+    cfg = apply_overrides(cfg, {"train.ckpt_dir": str(tmp_path / "ck")})
+    step = make_train_step(cfg, model, donate=False)
+    rng = jax.random.PRNGKey(0)
+    batch = next(ds.batches(cfg.data.batch_size, seed=0))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    state, _ = step(state, batch, rng)
+
+    mgr = CheckpointManager(cfg.train.ckpt_dir, cfg, keep=2)
+    mgr.save(int(state.step), jax.device_get(state), jax.device_get(rng))
+    mgr.wait()
+
+    _, variables = init_model(cfg, seed=123)   # different init
+    fresh = create_train_state(cfg, model, variables, 1)
+    restored = mgr.restore(fresh, rng)
+    assert restored is not None
+    r_state = restored["state"]
+    assert int(r_state.step) == int(state.step)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        jax.device_get(state.params), r_state.params)
+
+    # restored state produces identical eval outputs
+    ev = make_eval_step(cfg, model)
+    cm1 = ev(state, batch, rng)
+    cm2 = ev(r_state, batch, rng)
+    np.testing.assert_array_equal(np.asarray(cm1), np.asarray(cm2))
+
+    # config roundtrips through the checkpoint dir
+    cfg2 = CheckpointManager.load_config(cfg.train.ckpt_dir)
+    assert cfg2 == cfg

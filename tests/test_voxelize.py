@@ -1,0 +1,85 @@
+"""F-01 voxel-table build vs the NumPy oracle (SURVEY §4.2 #1, #2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gridgcn_tpu.ops import build_voxel_table, capacity_stats
+from tests.oracle import oracle_np
+
+
+def _random_cloud(key, B=2, N=300, pad=40):
+    xyz = jax.random.uniform(key, (B, N, 3), minval=-1.0, maxval=1.0)
+    mask = jnp.ones((B, N), bool)
+    mask = mask.at[:, N - pad:].set(False)
+    return xyz, mask
+
+
+@pytest.mark.parametrize("resolution,nv", [(4, 4), (8, 8), (8, 2)])
+def test_coverage_matches_numpy(rng_key, resolution, nv):
+    xyz, mask = _random_cloud(rng_key)
+    table = build_voxel_table(xyz, mask, resolution, nv, rng_key)
+    xyz_np, mask_np = np.asarray(xyz), np.asarray(mask)
+    for b in range(xyz.shape[0]):
+        origin, vsize = oracle_np.grid_bounds(xyz_np[b], mask_np[b], resolution)
+        vid = oracle_np.voxel_ids(xyz_np[b], mask_np[b], origin, vsize,
+                                  resolution)
+        cov = oracle_np.coverage_counts(vid, resolution)
+        np.testing.assert_array_equal(np.asarray(table.coverage[b]), cov)
+        np.testing.assert_array_equal(np.asarray(table.point_vid[b]), vid)
+        np.testing.assert_array_equal(
+            np.asarray(table.occupancy[b]), np.minimum(cov, nv))
+
+
+def test_slots_consistent(rng_key):
+    resolution, nv = 8, 4
+    xyz, mask = _random_cloud(rng_key)
+    table = build_voxel_table(xyz, mask, resolution, nv, rng_key)
+    slots = np.asarray(table.slots)
+    vid = np.asarray(table.point_vid)
+    occ = np.asarray(table.occupancy)
+    mask_np = np.asarray(mask)
+    for b in range(xyz.shape[0]):
+        for v in range(table.num_voxels):
+            stored = slots[b, v][slots[b, v] >= 0]
+            # stored count equals occupancy
+            assert len(stored) == occ[b, v]
+            # no duplicates
+            assert len(set(stored.tolist())) == len(stored)
+            # each stored point is valid and belongs to this voxel
+            for p in stored:
+                assert mask_np[b, p]
+                assert vid[b, p] == v
+
+
+def test_no_drops_when_capacity_sufficient(rng_key):
+    xyz, mask = _random_cloud(rng_key, N=200, pad=0)
+    table = build_voxel_table(xyz, mask, 4, 200, rng_key)
+    stats = capacity_stats(table)
+    np.testing.assert_array_equal(np.asarray(stats["dropped_points"]), 0)
+
+
+def test_determinism_and_key_sensitivity(rng_key):
+    xyz, mask = _random_cloud(rng_key)
+    t1 = build_voxel_table(xyz, mask, 8, 2, rng_key)
+    t2 = build_voxel_table(xyz, mask, 8, 2, rng_key)
+    np.testing.assert_array_equal(np.asarray(t1.slots), np.asarray(t2.slots))
+    t3 = build_voxel_table(xyz, mask, 8, 2, jax.random.PRNGKey(7))
+    # nv=2 with ~260 pts in 512 voxels: some voxels overflow, so a different
+    # shuffle retains different subsets
+    assert not np.array_equal(np.asarray(t1.slots), np.asarray(t3.slots))
+    # but coverage is shuffle-invariant
+    np.testing.assert_array_equal(
+        np.asarray(t1.coverage), np.asarray(t3.coverage))
+
+
+def test_masked_points_never_stored(rng_key):
+    xyz, mask = _random_cloud(rng_key, N=100, pad=50)
+    # poison the padded points with coordinates inside the cloud
+    xyz = xyz.at[:, 50:, :].set(0.0)
+    table = build_voxel_table(xyz, mask, 4, 100, rng_key)
+    slots = np.asarray(table.slots)
+    stored = slots[slots >= 0]
+    assert stored.max(initial=-1) < 50
+    assert int(np.asarray(table.coverage).sum()) == 2 * 50
