@@ -1,0 +1,117 @@
+"""F-18: headline benchmark harness (SURVEY.md §2.3, §6).
+
+Times the headline metric from BASELINE.md: whole-scene ScanNet-style
+segmentation inference points/sec on one chip (reference: 81920 pts/scene at
+~20 ms ≈ 4.1 M points/sec on a 2019 GPU, paper abstract). Protocol follows
+the reference's latency scripts: jit-compile, warm up, then time synced
+steady-state forwards with `block_until_ready`.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "points/sec/chip", "vs_baseline": N}
+plus (stderr) a breakdown including ModelNet40 batch latency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_POINTS_PER_SEC = 81920 / 0.020   # ≈ 4.096 M pts/s, BASELINE.md
+
+
+def _time_fn(fn, *args, warmup: int = 3, iters: int = 10) -> float:
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_seg_whole_scene(batch_size: int, iters: int):
+    """Whole-scene segmentation inference throughput (BASELINE config 5)."""
+    from gridgcn_tpu.configs import presets
+    from gridgcn_tpu.configs.base import apply_overrides
+    from gridgcn_tpu.models.build import init_model
+
+    cfg = presets.get("scannet_whole_scene")
+    if batch_size != cfg.data.batch_size:
+        cfg = apply_overrides(cfg, {"data.batch_size": batch_size})
+    N = cfg.data.num_points
+    model, variables = init_model(cfg)
+
+    rng = jax.random.PRNGKey(0)
+    xyz = jax.random.uniform(rng, (batch_size, N, 3), minval=0.0, maxval=6.0)
+    mask = jnp.ones((batch_size, N), bool)
+
+    @jax.jit
+    def forward(variables, xyz, mask, key):
+        return model.apply(variables, xyz, None, mask, train=False,
+                           rngs={"cagq": key})
+
+    dt = _time_fn(forward, variables, xyz, mask, rng, iters=iters)
+    pts_per_sec = batch_size * N / dt
+    return {
+        "scene_points": N,
+        "batch_size": batch_size,
+        "latency_ms": dt * 1000,
+        "points_per_sec": pts_per_sec,
+    }
+
+
+def bench_modelnet40_latency(iters: int):
+    """ModelNet40 inference latency, batch 16 @ 1024 pts (SURVEY §6)."""
+    from gridgcn_tpu.configs import presets
+    from gridgcn_tpu.models.build import init_model
+
+    cfg = presets.get("modelnet40_full")
+    B, N = 16, cfg.data.num_points
+    model, variables = init_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    xyz = jax.random.uniform(rng, (B, N, 3), minval=-1.0, maxval=1.0)
+    mask = jnp.ones((B, N), bool)
+
+    @jax.jit
+    def forward(variables, xyz, mask, key):
+        return model.apply(variables, xyz, None, mask, train=False,
+                           rngs={"cagq": key})
+
+    dt = _time_fn(forward, variables, xyz, mask, rng, iters=iters)
+    return {"batch_size": B, "num_points": N, "latency_ms": dt * 1000}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--skip-modelnet", action="store_true")
+    args = p.parse_args(argv)
+
+    seg = bench_seg_whole_scene(args.batch_size, args.iters)
+    detail = {"seg_whole_scene": seg,
+              "device": str(jax.devices()[0]),
+              "baseline_points_per_sec": BASELINE_POINTS_PER_SEC}
+    if not args.skip_modelnet:
+        detail["modelnet40"] = bench_modelnet40_latency(args.iters)
+    print(json.dumps(detail), file=sys.stderr)
+
+    result = {
+        "metric": "points/sec/chip (ScanNet whole-scene seg inference, "
+                  f"{seg['scene_points']} pts/scene)",
+        "value": round(seg["points_per_sec"], 1),
+        "unit": "points/sec",
+        "vs_baseline": round(seg["points_per_sec"] / BASELINE_POINTS_PER_SEC,
+                             4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

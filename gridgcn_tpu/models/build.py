@@ -33,12 +33,21 @@ def example_inputs(cfg: Config, batch_size: int | None = None):
 
 
 def init_model(cfg: Config, seed: int = 0):
-    """Initialize (model, variables) for a config on dummy inputs."""
+    """Initialize (model, variables) for a config on dummy inputs.
+
+    init is jitted: eager op-by-op dispatch is pathologically slow on
+    remote-tunnel TPU backends (hundreds of seconds for even a tiny model)."""
     model = build_model(cfg.model)
     xyz, feat, mask = example_inputs(cfg, batch_size=2)
     key = jax.random.PRNGKey(seed)
     k_param, k_cagq, k_drop = jax.random.split(key, 3)
-    variables = model.init(
-        {"params": k_param, "cagq": k_cagq, "dropout": k_drop},
-        xyz, feat, mask, train=False)
+    rngs = {"params": k_param, "cagq": k_cagq, "dropout": k_drop}
+    if feat is None:
+        init_fn = jax.jit(lambda r, x, m: model.init(r, x, None, m,
+                                                     train=False))
+        variables = init_fn(rngs, xyz, mask)
+    else:
+        init_fn = jax.jit(lambda r, x, f, m: model.init(r, x, f, m,
+                                                        train=False))
+        variables = init_fn(rngs, xyz, feat, mask)
     return model, variables

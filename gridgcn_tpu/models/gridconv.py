@@ -48,8 +48,10 @@ class GridConv(nn.Module):
         out = cagq(xyz, mask, self.spec, key)
         g = out.groups
 
-        node_xyz = gather_point_features(xyz, g.neighbor_idx)     # [B,M,K,3]
-        delta_p = node_xyz - g.center_xyz[:, :, None, :]
+        # node coordinates come from the packed coord table inside CAGQ
+        # (no [N,3] scalar gather here — SURVEY §7 H4)
+        delta_p = g.node_xyz - g.center_xyz[:, :, None, :]
+        delta_p = jnp.where(g.neighbor_mask[..., None], delta_p, 0.0)
         node_feat = None if feat is None else gather_point_features(
             feat, g.neighbor_idx)
 

@@ -21,7 +21,11 @@ from flax import linen as nn
 
 from gridgcn_tpu.configs.base import ModelConfig
 from gridgcn_tpu.models.gridconv import GridConv
-from gridgcn_tpu.ops.upsample import grid_three_nn, three_nn_interpolate
+from gridgcn_tpu.ops.upsample import (
+    dense_three_nn, grid_three_nn, three_nn_interpolate)
+
+# above this coarse-level size the voxel-table query wins over MXU brute force
+_DENSE_KNN_MAX_SUPPORT = 16384
 
 
 class GridGCNSegmentation(nn.Module):
@@ -48,10 +52,17 @@ class GridGCNSegmentation(nn.Module):
         c_xyz, c_feat, c_mask = levels[-1]
         for i, up in enumerate(cfg.up_layers):
             d_xyz, d_feat, d_mask = levels[-2 - i]
-            key = self.make_rng("cagq")
-            nn_idx, weights, _ = grid_three_nn(
-                d_xyz, d_mask, c_xyz, c_mask, up.resolution, up.nv, key,
-                k=up.k_interp, context=up.context)
+            use_dense = (up.method == "dense"
+                         or (up.method == "auto"
+                             and c_xyz.shape[1] <= _DENSE_KNN_MAX_SUPPORT))
+            if use_dense:
+                nn_idx, weights, _ = dense_three_nn(
+                    d_xyz, d_mask, c_xyz, c_mask, k=up.k_interp)
+            else:
+                key = self.make_rng("cagq")
+                nn_idx, weights, _ = grid_three_nn(
+                    d_xyz, d_mask, c_xyz, c_mask, up.resolution, up.nv, key,
+                    k=up.k_interp, context=up.context)
             interp = three_nn_interpolate(
                 c_feat.astype(dtype), nn_idx, weights.astype(dtype))
 

@@ -11,6 +11,12 @@ so node points are a uniform random K-subset of the valid candidates — the
 same semantics as the reference's randomized retention, fully deterministic
 under the PRNG key (SURVEY §7 H6). All outputs are padded/masked to static
 shapes for XLA.
+
+TPU layout (SURVEY §7 H4): node *coordinates* come from the packed
+`coord_table` rows (contiguous row-gather per context voxel + dense
+take_along_axis), not from a per-node scalar gather into the [N, 3] point
+array — so the only irregular gather left downstream is the wide-row feature
+gather in GridConv.
 """
 
 from __future__ import annotations
@@ -20,7 +26,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from gridgcn_tpu.ops.gridutil import context_neighbors, vid_to_coords
-from gridgcn_tpu.ops.voxelize import VoxelTable
+from gridgcn_tpu.ops.voxelize import COORD_SENTINEL, VoxelTable
 
 
 @struct.dataclass
@@ -31,6 +37,7 @@ class GroupedNodes:
       neighbor_idx:  [B, M, K] int32 — indices into the level's point array
                      (0 where invalid; gate with neighbor_mask).
       neighbor_mask: [B, M, K] bool.
+      node_xyz:      [B, M, K, 3] — node coordinates (0 where invalid).
       node_coverage: [B, M, K] int32 — raw point count of each node's voxel,
                      the GCA coverage weight (F-07).
       center_xyz:    [B, M, 3].
@@ -40,13 +47,14 @@ class GroupedNodes:
 
     neighbor_idx: jax.Array
     neighbor_mask: jax.Array
+    node_xyz: jax.Array
     node_coverage: jax.Array
     center_xyz: jax.Array
     center_valid: jax.Array
     center_vids: jax.Array
 
 
-def _gather_one(slots, coverage, center_vids, center_valid, xyz, key,
+def _gather_one(slots, coord_table, coverage, center_vids, center_valid, key,
                 resolution: int, K: int, context: int, center_mode: str,
                 origin, vsize):
     """Single-cloud gather; vmapped over the batch."""
@@ -57,10 +65,14 @@ def _gather_one(slots, coverage, center_vids, center_valid, xyz, key,
 
     nvid, inb = context_neighbors(center_vids, resolution, context)  # [M, P]
     inb = inb & center_valid[:, None]
+    safe_nvid = jnp.where(inb, nvid, V)          # sentinel row for coords
 
-    cand_idx = slots[nvid]                                  # [M, P, nv]
-    cand_cov = coverage[jnp.minimum(nvid, V - 1)]           # [M, P]
+    cand_idx = slots[jnp.minimum(safe_nvid, V - 1)]          # [M, P, nv]
+    cand_cov = coverage[jnp.minimum(nvid, V - 1)]            # [M, P]
     cand_valid = (cand_idx >= 0) & inb[..., None]
+
+    crows = coord_table[safe_nvid]                           # [M, P, 3*nv]
+    crows = crows.reshape(M, P, 3, nv)
 
     cand_idx = cand_idx.reshape(M, P * nv)
     cand_valid = cand_valid.reshape(M, P * nv)
@@ -70,52 +82,57 @@ def _gather_one(slots, coverage, center_vids, center_valid, xyz, key,
     # invalid are 0, so top-K picks valid first and uniformly among them.
     r = jax.random.uniform(key, (M, P * nv))
     score = jnp.where(cand_valid, 1.0 + r, 0.0)
-    top_score, top_pos = jax.lax.top_k(score, K)            # [M, K]
+    top_score, top_pos = jax.lax.top_k(score, K)             # [M, K]
     neighbor_mask = top_score > 0.5
     neighbor_idx = jnp.take_along_axis(cand_idx, top_pos, axis=-1)
     neighbor_idx = jnp.where(neighbor_mask, neighbor_idx, 0)
     node_coverage = jnp.where(
         neighbor_mask, jnp.take_along_axis(cand_cov, top_pos, axis=-1), 0)
 
+    # node coordinates from the packed table (dense take_along_axis per axis)
+    axes = [jnp.take_along_axis(crows[:, :, a, :].reshape(M, P * nv),
+                                top_pos, axis=-1) for a in range(3)]
+    node_xyz = jnp.stack(axes, -1)                            # [M, K, 3]
+    node_xyz = jnp.where(neighbor_mask[..., None], node_xyz, 0.0)
+
     center_xyz = center_positions(
-        slots, center_vids, center_valid, xyz, resolution, center_mode,
-        origin, vsize)
-    return neighbor_idx, neighbor_mask, node_coverage, center_xyz
+        coord_table, center_vids, center_valid, resolution, center_mode,
+        origin, vsize, nv)
+    return neighbor_idx, neighbor_mask, node_xyz, node_coverage, center_xyz
 
 
-def center_positions(slots, center_vids, center_valid, xyz, resolution: int,
-                     mode: str, origin, vsize):
+def center_positions(coord_table, center_vids, center_valid, resolution: int,
+                     mode: str, origin, vsize, nv: int):
     """Group-center positions: stored-point barycenter or geometric voxel
     center (paper §3.1 ambiguity → config flag, SURVEY §2.1 F-02)."""
     V = resolution ** 3
-    safe_vid = jnp.minimum(center_vids, V - 1)
+    safe_vid = jnp.where(center_valid, center_vids, V)
     if mode == "barycenter":
-        cslots = slots[safe_vid]                              # [M, nv]
-        cvalid = (cslots >= 0) & center_valid[:, None]
-        pts = xyz[jnp.maximum(cslots, 0)]                     # [M, nv, 3]
-        w = cvalid[..., None].astype(xyz.dtype)
-        denom = jnp.maximum(jnp.sum(w, axis=-2), 1.0)
-        return jnp.sum(pts * w, axis=-2) / denom
+        crow = coord_table[safe_vid].reshape(-1, 3, nv)       # [M, 3, nv]
+        valid = crow[:, 0, :] < COORD_SENTINEL * 0.5          # [M, nv]
+        w = valid[:, None, :].astype(coord_table.dtype)
+        denom = jnp.maximum(jnp.sum(w, axis=-1), 1.0)         # [M, 1→3]
+        return jnp.sum(jnp.where(w > 0, crow, 0.0), axis=-1) / denom
     elif mode == "voxel_center":
-        cx, cy, cz = vid_to_coords(safe_vid, resolution)
-        coords = jnp.stack([cx, cy, cz], -1).astype(xyz.dtype) + 0.5
+        cx, cy, cz = vid_to_coords(jnp.minimum(center_vids, V - 1), resolution)
+        coords = jnp.stack([cx, cy, cz], -1).astype(origin.dtype) + 0.5
         c = origin + coords * vsize
         return jnp.where(center_valid[:, None], c, 0.0)
     raise ValueError(f"unknown center_mode: {mode}")
 
 
-def gather_nodes(table: VoxelTable, xyz: jax.Array, center_vids: jax.Array,
+def gather_nodes(table: VoxelTable, center_vids: jax.Array,
                  center_valid: jax.Array, K: int, context: int,
                  key: jax.Array, center_mode: str = "barycenter") -> GroupedNodes:
-    """Batched F-04 gather. xyz: [B, N, 3]; centers from F-02/F-03."""
-    B = xyz.shape[0]
+    """Batched F-04 gather; centers from F-02/F-03."""
+    B = table.slots.shape[0]
     keys = jax.random.split(key, B)
-    nidx, nmask, ncov, cxyz = jax.vmap(
-        lambda s, c, cv, va, x, k, o, vs: _gather_one(
-            s, c, cv, va, x, k, table.resolution, K, context, center_mode,
+    nidx, nmask, nxyz, ncov, cxyz = jax.vmap(
+        lambda s, ct, c, cv, va, k, o, vs: _gather_one(
+            s, ct, c, cv, va, k, table.resolution, K, context, center_mode,
             o, vs))(
-        table.slots, table.coverage, center_vids, center_valid, xyz, keys,
-        table.origin, table.vsize)
+        table.slots, table.coord_table, table.coverage, center_vids,
+        center_valid, keys, table.origin, table.vsize)
     return GroupedNodes(neighbor_idx=nidx, neighbor_mask=nmask,
-                        node_coverage=ncov, center_xyz=cxyz,
+                        node_xyz=nxyz, node_coverage=ncov, center_xyz=cxyz,
                         center_valid=center_valid, center_vids=center_vids)

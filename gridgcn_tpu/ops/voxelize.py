@@ -9,13 +9,22 @@ construction** (SURVEY §7 H2):
      "random nv subset after input shuffle" semantics),
   2. stable-sort by voxel id (`jax.lax.sort` — fast on TPU),
   3. rank-within-segment via a cumulative max over segment starts,
-  4. one scatter of `(voxel_id * nv + rank)` → point index.
+  4. one scatter of `(voxel_id * nv + rank)` → point index / coordinates.
 
 Everything is static-shape: the table is a dense `[V, nv]` index array in HBM
 (V = resolution³), `coverage` keeps the *raw* per-voxel point count (the GCA
 coverage weight, F-04/F-07), and `occupancy = min(coverage, nv)` counts stored
 slots. Dropped points (rank ≥ nv) are a capacity choice surfaced by
 `capacity_stats`, not a silent bug (SURVEY §7 H1).
+
+Layout note (SURVEY §7 H4): alongside the index slots, point *coordinates*
+are scattered into a packed `[V+1, 3·nv]` table (x-slots | y-slots | z-slots
+per row; empty slots and the out-of-grid sentinel row V hold +BIG). Downstream
+context queries (F-04 gather, F-05 upsample) then read coordinates as
+contiguous row-gathers + dense VPU math instead of per-candidate scalar
+gathers — on a v5e the scalar-gather formulation costs ~800 ms per 81920-pt
+scene; the packed-row formulation is the difference between losing to and
+beating the reference GPU.
 """
 
 from __future__ import annotations
@@ -24,26 +33,32 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+COORD_SENTINEL = 1e10   # empty-slot coordinate; d2 to it ≈ 1e20
+
 
 @struct.dataclass
 class VoxelTable:
     """Fixed-capacity voxel table for one grid level.
 
     Attributes:
-      slots:      [B, V, nv] int32 — indices into the level's point array;
-                  -1 marks an empty slot.
-      occupancy:  [B, V] int32 — number of stored points per voxel (≤ nv).
-      coverage:   [B, V] int32 — raw number of points per voxel (un-capped);
-                  this is the coverage weight consumed by GCA attention.
-      point_vid:  [B, N] int32 — linear voxel id per input point (V for
-                  invalid/padded points). Used by CAS and the upsample query.
-      origin:     [B, 3] float — minimum corner of the grid.
-      vsize:      [B, 3] float — voxel edge lengths.
-      resolution: static int — grid is resolution³ voxels.
-      nv:         static int — slot capacity per voxel.
+      slots:       [B, V, nv] int32 — indices into the level's point array;
+                   -1 marks an empty slot.
+      coord_table: [B, V+1, 3*nv] — packed slot coordinates
+                   [x0..x_{nv-1} | y0.. | z0..]; empty slots and row V (the
+                   out-of-grid sentinel) hold +COORD_SENTINEL.
+      occupancy:   [B, V] int32 — number of stored points per voxel (≤ nv).
+      coverage:    [B, V] int32 — raw number of points per voxel (un-capped);
+                   this is the coverage weight consumed by GCA attention.
+      point_vid:   [B, N] int32 — linear voxel id per input point (V for
+                   invalid/padded points). Used by CAS and the upsample query.
+      origin:      [B, 3] float — minimum corner of the grid.
+      vsize:       [B, 3] float — voxel edge lengths.
+      resolution:  static int — grid is resolution³ voxels.
+      nv:          static int — slot capacity per voxel.
     """
 
     slots: jax.Array
+    coord_table: jax.Array
     occupancy: jax.Array
     coverage: jax.Array
     point_vid: jax.Array
@@ -104,9 +119,17 @@ def _build_one(xyz: jax.Array, mask: jax.Array, perm: jax.Array,
     slots = jnp.full((V * nv + 1,), -1, jnp.int32).at[dest].set(sorted_pidx)
     slots = slots[: V * nv].reshape(V, nv)
 
+    # packed coordinate table: one extra scatter over the same dest indices
+    coords = xyz[sorted_pidx]                                    # [N, 3]
+    cflat = jnp.full((3, V * nv + nv), COORD_SENTINEL, xyz.dtype)
+    cflat = cflat.at[:, dest].set(coords.T)
+    coord_table = (cflat.reshape(3, V + 1, nv).transpose(1, 0, 2)
+                   .reshape(V + 1, 3 * nv))
+    coord_table = coord_table.at[V].set(COORD_SENTINEL)  # keep sentinel row
+
     coverage = jnp.zeros((V + 1,), jnp.int32).at[vid].add(1)[:V]
     occupancy = jnp.minimum(coverage, nv)
-    return slots, occupancy, coverage, vid, origin, vsize
+    return slots, coord_table, occupancy, coverage, vid, origin, vsize
 
 
 def build_voxel_table(xyz: jax.Array, mask: jax.Array, resolution: int,
@@ -123,10 +146,11 @@ def build_voxel_table(xyz: jax.Array, mask: jax.Array, resolution: int,
     B, N = xyz.shape[:2]
     perms = jax.vmap(lambda k: jax.random.permutation(k, N).astype(jnp.int32))(
         jax.random.split(key, B))
-    slots, occ, cov, vid, origin, vsize = jax.vmap(
+    slots, ctab, occ, cov, vid, origin, vsize = jax.vmap(
         lambda x, m, p: _build_one(x, m, p, resolution, nv))(xyz, mask, perms)
-    return VoxelTable(slots=slots, occupancy=occ, coverage=cov, point_vid=vid,
-                      origin=origin, vsize=vsize, resolution=resolution, nv=nv)
+    return VoxelTable(slots=slots, coord_table=ctab, occupancy=occ,
+                      coverage=cov, point_vid=vid, origin=origin, vsize=vsize,
+                      resolution=resolution, nv=nv)
 
 
 def capacity_stats(table: VoxelTable) -> dict:

@@ -36,6 +36,26 @@ def test_matches_brute_force_on_dense_support(rng_key):
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
 
 
+def test_dense_knn_matches_brute_force(rng_key):
+    """MXU brute-force path is exact k-NN."""
+    from gridgcn_tpu.ops import dense_three_nn
+    B, Nq, Ns = 2, 200, 150
+    q = jax.random.uniform(rng_key, (B, Nq, 3))
+    s = jax.random.uniform(jax.random.PRNGKey(11), (B, Ns, 3))
+    qm = jnp.ones((B, Nq), bool).at[:, 190:].set(False)
+    sm = jnp.ones((B, Ns), bool).at[:, 140:].set(False)
+    idx, w, found = dense_three_nn(q, qm, s, sm, k=3, block=64)
+    idx, w, found = np.asarray(idx), np.asarray(w), np.asarray(found)
+    assert found[:, :190].all() and not found[:, 190:].any()
+    for b in range(B):
+        bf_idx, bf_d2 = oracle_np.brute_force_knn(
+            np.asarray(q[b]), np.asarray(s[b]), np.asarray(sm[b]), 3)
+        np.testing.assert_array_equal(np.sort(idx[b, :190], axis=1),
+                                      np.sort(bf_idx[:190], axis=1))
+    # weights normalized on found queries
+    np.testing.assert_allclose(w[:, :190].sum(-1), 1.0, atol=1e-5)
+
+
 def test_weights_sum_to_one_or_zero(rng_key):
     B, Nq, Ns = 2, 200, 32
     q = jax.random.uniform(rng_key, (B, Nq, 3))
