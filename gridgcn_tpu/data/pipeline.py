@@ -20,7 +20,7 @@ from typing import Iterator, Optional
 import numpy as np
 
 from gridgcn_tpu.configs.base import DataConfig
-from gridgcn_tpu.data import synthetic
+from gridgcn_tpu.data import native, synthetic
 from gridgcn_tpu.data.modelnet40 import load_modelnet40
 from gridgcn_tpu.data.s3dis import load_s3dis
 from gridgcn_tpu.data.scannet import load_scannet
@@ -57,13 +57,15 @@ class Dataset:
             if len(idx) < batch_size:   # pad the final partial batch
                 pad = rng.choice(order, batch_size - len(idx))
                 idx = np.concatenate([idx, pad])
+            idx = np.ascontiguousarray(idx, np.int32)
+            xyz = native.gather_rows(self.points, idx)   # threaded C++ path
             batch = {
-                "xyz": self.points[idx],
-                "label": self.labels[idx],
-                "mask": np.ones(self.points[idx].shape[:2], bool),
+                "xyz": xyz,
+                "label": native.gather_rows(self.labels, idx),
+                "mask": np.ones(xyz.shape[:2], bool),
             }
             if self.features is not None:
-                batch["feat"] = self.features[idx]
+                batch["feat"] = native.gather_rows(self.features, idx)
             yield batch
 
 
