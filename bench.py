@@ -25,13 +25,21 @@ import numpy as np
 BASELINE_POINTS_PER_SEC = 81920 / 0.020   # ≈ 4.096 M pts/s, BASELINE.md
 
 
-def _time_fn(fn, *args, warmup: int = 3, iters: int = 10) -> float:
+def _time_fn(fn, *args, warmup: int = 2, iters: int = 10) -> float:
+    """Steady-state per-iteration time.
+
+    `fn` must return a scalar (e.g. logits.sum()): fetching the scalar is the
+    only reliable synchronization on remote-tunnel TPU backends, where
+    block_until_ready can return before execution finishes. Timing launches
+    `iters` pipelined steps and fetches only the last scalar, so the single
+    host↔device round trip amortizes away."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        float(fn(*args))
     t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    float(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -53,8 +61,9 @@ def bench_seg_whole_scene(batch_size: int, iters: int):
 
     @jax.jit
     def forward(variables, xyz, mask, key):
-        return model.apply(variables, xyz, None, mask, train=False,
-                           rngs={"cagq": key})
+        logits = model.apply(variables, xyz, None, mask, train=False,
+                             rngs={"cagq": key})
+        return logits.sum()   # scalar sync token (see _time_fn)
 
     dt = _time_fn(forward, variables, xyz, mask, rng, iters=iters)
     pts_per_sec = batch_size * N / dt
@@ -80,8 +89,9 @@ def bench_modelnet40_latency(iters: int):
 
     @jax.jit
     def forward(variables, xyz, mask, key):
-        return model.apply(variables, xyz, None, mask, train=False,
-                           rngs={"cagq": key})
+        logits = model.apply(variables, xyz, None, mask, train=False,
+                             rngs={"cagq": key})
+        return logits.sum()   # scalar sync token (see _time_fn)
 
     dt = _time_fn(forward, variables, xyz, mask, rng, iters=iters)
     return {"batch_size": B, "num_points": N, "latency_ms": dt * 1000}
