@@ -1,0 +1,59 @@
+"""Sanitizers / validation (SURVEY.md §5 'Race detection / sanitizers').
+
+The reference validated its hand-written CUDA atomics by eyeball; here the
+sort-based voxel build makes the write-race class unrepresentable by
+construction (SURVEY §7 H2), and this module covers the remaining failure
+modes:
+
+  * capacity truncation (H1): `check_capacity` flags voxel tables whose nv
+    silently drops too many points for a config;
+  * NaN/Inf escapes: `debug_mode` turns on jax.debug_nans + disable_jit-free
+    checks;
+  * `checkify_call` runs a jitted function under jax.experimental.checkify
+    with index/NaN checks promoted to errors.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import checkify
+
+from gridgcn_tpu.ops.voxelize import VoxelTable, capacity_stats
+
+
+def check_capacity(table: VoxelTable, max_dropped_frac: float = 0.05):
+    """Host-side capacity audit: raises if nv drops more than the budget.
+
+    Run on a representative batch when tuning a config's (resolution, nv)
+    — not in the hot path (SURVEY §7 H1)."""
+    stats = capacity_stats(table)
+    frac = float(jnp.max(stats["dropped_frac"]))
+    if frac > max_dropped_frac:
+        raise ValueError(
+            f"voxel table drops {frac:.1%} of points (> {max_dropped_frac:.1%}); "
+            f"raise nv (={table.nv}) or resolution (={table.resolution})")
+    return stats
+
+
+@contextlib.contextmanager
+def debug_mode():
+    """NaN debugging for a scope: `with debug_mode(): train_step(...)`."""
+    jax.config.update("jax_debug_nans", True)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", False)
+
+
+def checkify_call(fn: Callable, *args, **kwargs):
+    """Run `fn` with checkify float/index error checks; raises on failure."""
+    checked = checkify.checkify(
+        fn, errors=checkify.float_checks | checkify.index_checks)
+    err, out = jax.jit(checked)(*args, **kwargs) if not kwargs else checked(
+        *args, **kwargs)
+    err.throw()
+    return out

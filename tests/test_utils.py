@@ -1,0 +1,54 @@
+"""Aux subsystems: capacity audit, metrics summaries, logging."""
+
+import io
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gridgcn_tpu.ops import build_voxel_table
+from gridgcn_tpu.train.metrics import confusion_matrix, summarize_confusion
+from gridgcn_tpu.utils.debug import check_capacity
+from gridgcn_tpu.utils.logging import MetricLogger
+
+
+def test_check_capacity_flags_overflow(rng_key):
+    xyz = jax.random.uniform(rng_key, (1, 500, 3))
+    mask = jnp.ones((1, 500), bool)
+    ok = build_voxel_table(xyz, mask, 8, 500, rng_key)
+    check_capacity(ok)   # no drops
+    tight = build_voxel_table(xyz, mask, 2, 2, rng_key)  # 8 voxels, nv=2
+    with pytest.raises(ValueError, match="drops"):
+        check_capacity(tight, max_dropped_frac=0.05)
+
+
+def test_confusion_matrix_and_summary():
+    logits = jnp.asarray([[5.0, 0, 0], [0, 5.0, 0], [0, 5.0, 0], [0, 0, 5.0]])
+    labels = jnp.asarray([0, 1, 2, 2])
+    cm = confusion_matrix(logits, labels, 3)
+    np.testing.assert_array_equal(
+        np.asarray(cm), [[1, 0, 0], [0, 1, 0], [0, 1, 1]])
+    s = summarize_confusion(cm)
+    assert abs(float(s["overall_acc"]) - 0.75) < 1e-6
+    # class accs: 1, 1, 0.5 → mean 5/6
+    assert abs(float(s["mean_class_acc"]) - 5 / 6) < 1e-6
+
+
+def test_confusion_matrix_masked():
+    logits = jnp.zeros((1, 4, 2)).at[0, :, 0].set(1.0)   # all predict 0
+    labels = jnp.asarray([[0, 0, 1, 1]])
+    mask = jnp.asarray([[True, True, True, False]])
+    cm = confusion_matrix(logits, labels, 2, mask)
+    np.testing.assert_array_equal(np.asarray(cm), [[2, 0], [1, 0]])
+
+
+def test_metric_logger_jsonl():
+    buf = io.StringIO()
+    log = MetricLogger(stream=buf)
+    log.log("train_step", step=3, loss=0.5,
+            arr=jnp.asarray(1.25), vec=np.array([1, 2]))
+    rec = json.loads(buf.getvalue())
+    assert rec["kind"] == "train_step" and rec["loss"] == 0.5
+    assert rec["arr"] == 1.25 and rec["vec"] == [1, 2]
