@@ -38,6 +38,10 @@ class GridLayerSpec:
     cas_iters: int = 1             # CAS challenge rounds over occupied voxels
     max_occupied: int = 0          # 0 => no compact occupied list needed (RVS via mask)
     center_mode: str = "barycenter"  # 'barycenter' | 'voxel_center' (paper §3.1 ambiguity)
+    # TPU PartialReduce (approx_max_k) instead of full sorts for the random
+    # center/node selection — selection is random anyway, so ~0.95 recall
+    # changes nothing semantically; big win at whole-scene sizes.
+    approx_select: bool = False
 
     # --- GCA (aggregation) side ---
     mlp: Tuple[int, ...] = (64, 64)   # edge-MLP channel stack (last = output width)

@@ -35,7 +35,7 @@ def cagq(xyz: jax.Array, mask: jax.Array, spec: GridLayerSpec,
 
     if spec.sampler == "rvs":
         center_vids, center_valid = sample_centers_rvs(
-            table, spec.n_centers, k_sample)
+            table, spec.n_centers, k_sample, approx=spec.approx_select)
     elif spec.sampler == "cas":
         center_vids, center_valid = sample_centers_cas(
             table, spec.n_centers, k_sample, context=spec.context,
@@ -45,5 +45,6 @@ def cagq(xyz: jax.Array, mask: jax.Array, spec: GridLayerSpec,
 
     groups = gather_nodes(table, center_vids, center_valid,
                           spec.k_neighbors, spec.context, k_gather,
-                          center_mode=spec.center_mode)
+                          center_mode=spec.center_mode,
+                          approx=spec.approx_select)
     return CAGQOutput(table=table, groups=groups)

@@ -56,7 +56,7 @@ class GroupedNodes:
 
 def _gather_one(slots, coord_table, coverage, center_vids, center_valid, key,
                 resolution: int, K: int, context: int, center_mode: str,
-                origin, vsize):
+                origin, vsize, approx: bool = False):
     """Single-cloud gather; vmapped over the batch."""
     V = resolution ** 3
     nv = slots.shape[-1]
@@ -82,7 +82,10 @@ def _gather_one(slots, coord_table, coverage, center_vids, center_valid, key,
     # invalid are 0, so top-K picks valid first and uniformly among them.
     r = jax.random.uniform(key, (M, P * nv))
     score = jnp.where(cand_valid, 1.0 + r, 0.0)
-    top_score, top_pos = jax.lax.top_k(score, K)             # [M, K]
+    if approx:
+        top_score, top_pos = jax.lax.approx_max_k(score, K)
+    else:
+        top_score, top_pos = jax.lax.top_k(score, K)         # [M, K]
     neighbor_mask = top_score > 0.5
     neighbor_idx = jnp.take_along_axis(cand_idx, top_pos, axis=-1)
     neighbor_idx = jnp.where(neighbor_mask, neighbor_idx, 0)
@@ -123,14 +126,15 @@ def center_positions(coord_table, center_vids, center_valid, resolution: int,
 
 def gather_nodes(table: VoxelTable, center_vids: jax.Array,
                  center_valid: jax.Array, K: int, context: int,
-                 key: jax.Array, center_mode: str = "barycenter") -> GroupedNodes:
+                 key: jax.Array, center_mode: str = "barycenter",
+                 approx: bool = False) -> GroupedNodes:
     """Batched F-04 gather; centers from F-02/F-03."""
     B = table.slots.shape[0]
     keys = jax.random.split(key, B)
     nidx, nmask, nxyz, ncov, cxyz = jax.vmap(
         lambda s, ct, c, cv, va, k, o, vs: _gather_one(
             s, ct, c, cv, va, k, table.resolution, K, context, center_mode,
-            o, vs))(
+            o, vs, approx))(
         table.slots, table.coord_table, table.coverage, center_vids,
         center_valid, keys, table.origin, table.vsize)
     return GroupedNodes(neighbor_idx=nidx, neighbor_mask=nmask,

@@ -26,21 +26,31 @@ from gridgcn_tpu.ops.voxelize import VoxelTable
 _NEG_INF = -1e30
 
 
-def _rvs_one(occupied: jax.Array, M: int, key: jax.Array):
-    """Uniform sample of M distinct occupied voxels via Gumbel top-k."""
+def _rvs_one(occupied: jax.Array, M: int, key: jax.Array,
+             approx: bool = False):
+    """Uniform sample of M distinct occupied voxels via Gumbel top-k.
+
+    `approx=True` uses the TPU-optimized approx_max_k PartialReduce instead
+    of a full sort — the selection is random anyway, so a ~0.95-recall top-k
+    is still a uniform sample (validity masks cover the rest)."""
     V = occupied.shape[0]
     g = jax.random.gumbel(key, (V,))
     score = jnp.where(occupied, g, _NEG_INF)
-    _, vids = jax.lax.top_k(score, M)
-    valid = occupied[vids]
+    if approx:
+        vals, vids = jax.lax.approx_max_k(score, M)
+    else:
+        vals, vids = jax.lax.top_k(score, M)
+    valid = vals > _NEG_INF * 0.5
     return vids.astype(jnp.int32), valid
 
 
-def sample_centers_rvs(table: VoxelTable, M: int, key: jax.Array):
+def sample_centers_rvs(table: VoxelTable, M: int, key: jax.Array,
+                       approx: bool = False):
     """Returns (center_vids [B, M] int32, center_valid [B, M] bool)."""
     B = table.coverage.shape[0]
     keys = jax.random.split(key, B)
-    return jax.vmap(lambda o, k: _rvs_one(o, M, k))(table.coverage > 0, keys)
+    return jax.vmap(lambda o, k: _rvs_one(o, M, k, approx))(
+        table.coverage > 0, keys)
 
 
 def _coverage_counts(sel_vids: jax.Array, sel_valid: jax.Array,

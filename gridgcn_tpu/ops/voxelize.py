@@ -119,13 +119,15 @@ def _build_one(xyz: jax.Array, mask: jax.Array, perm: jax.Array,
     slots = jnp.full((V * nv + 1,), -1, jnp.int32).at[dest].set(sorted_pidx)
     slots = slots[: V * nv].reshape(V, nv)
 
-    # packed coordinate table: one extra scatter over the same dest indices
+    # packed coordinate table, scattered directly in its final
+    # [V+1, 3*nv] = [x-slots | y-slots | z-slots] layout (no transpose pass):
+    # axis a of the point at (voxel, rank) lands at vid*3nv + a*nv + rank.
     coords = xyz[sorted_pidx]                                    # [N, 3]
-    cflat = jnp.full((3, V * nv + nv), COORD_SENTINEL, xyz.dtype)
-    cflat = cflat.at[:, dest].set(coords.T)
-    coord_table = (cflat.reshape(3, V + 1, nv).transpose(1, 0, 2)
-                   .reshape(V + 1, 3 * nv))
-    coord_table = coord_table.at[V].set(COORD_SENTINEL)  # keep sentinel row
+    vox_base = jnp.where(keep, sorted_vid * (3 * nv) + rank, (V + 1) * 3 * nv)
+    dest3 = jnp.concatenate([vox_base, vox_base + nv, vox_base + 2 * nv])
+    vals3 = jnp.concatenate([coords[:, 0], coords[:, 1], coords[:, 2]])
+    cflat = jnp.full(((V + 1) * 3 * nv + 1,), COORD_SENTINEL, xyz.dtype)
+    coord_table = cflat.at[dest3].set(vals3)[:-1].reshape(V + 1, 3 * nv)
 
     coverage = jnp.zeros((V + 1,), jnp.int32).at[vid].add(1)[:V]
     occupancy = jnp.minimum(coverage, nv)
