@@ -81,6 +81,7 @@ class ModelConfig:
     bn_momentum: float = 0.9
     dtype: str = "float32"               # compute dtype for the dense GCA math
     use_xyz_feature: bool = True         # feed raw xyz as an input feature
+    remat: bool = False                  # jax.checkpoint each GridConv stage
 
 
 @dataclass(frozen=True)
@@ -115,6 +116,7 @@ class TrainConfig:
     weight_decay: float = 0.0
     grad_clip: float = 0.0
     label_smoothing: float = 0.0
+    class_weighting: bool = False  # seg: weight CE by inverse class frequency
     ckpt_dir: str = "checkpoints"
     ckpt_every: int = 1            # epochs between checkpoints
     keep_ckpts: int = 3

@@ -29,11 +29,13 @@ class GridGCNClassifier(nn.Module):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
 
+        conv_cls = nn.remat(GridConv, static_argnums=(4,)) if cfg.remat \
+            else GridConv
         for i, spec in enumerate(cfg.layers):
-            xyz, feat, mask = GridConv(spec, dtype=dtype,
+            xyz, feat, mask = conv_cls(spec, dtype=dtype,
                                        bn_momentum=cfg.bn_momentum,
                                        name=f"gridconv{i}")(
-                xyz, feat, mask, train=train)
+                xyz, feat, mask, train)
 
         # global masked max-pool over the last level's centers
         x = jnp.max(jnp.where(mask[..., None], feat, _NEG_INF), axis=-2)

@@ -40,12 +40,14 @@ class GridGCNSegmentation(nn.Module):
             raise ValueError("seg model needs one up_layer per encoder layer")
 
         # ---- encoder ----
+        conv_cls = nn.remat(GridConv, static_argnums=(4,)) if cfg.remat \
+            else GridConv
         levels = [(xyz, feat, mask)]
         for i, spec in enumerate(cfg.layers):
-            xyz, feat, mask = GridConv(spec, dtype=dtype,
+            xyz, feat, mask = conv_cls(spec, dtype=dtype,
                                        bn_momentum=cfg.bn_momentum,
                                        name=f"gridconv{i}")(
-                xyz, feat, mask, train=train)
+                xyz, feat, mask, train)
             levels.append((xyz, feat, mask))
 
         # ---- decoder: feature propagation coarse → dense ----

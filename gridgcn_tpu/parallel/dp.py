@@ -25,7 +25,7 @@ def _batch_shardings(batch_keys, mesh):
 
 def make_parallel_train_step(cfg: Config, model, mesh, sched=None,
                              batch_keys=("xyz", "label", "mask"),
-                             donate: bool = True):
+                             donate: bool = True, class_weights=None):
     """DP version of train.steps.make_train_step: state replicated, batch
     sharded on the 'data' axis, state output kept replicated.
 
@@ -33,7 +33,8 @@ def make_parallel_train_step(cfg: Config, model, mesh, sched=None,
     alias the source buffers, so donation would invalidate the original)."""
     rep = replicated(mesh)
     return jax.jit(
-        build_train_step(cfg, model, sched=sched),
+        build_train_step(cfg, model, sched=sched,
+                         class_weights=class_weights),
         in_shardings=(rep, _batch_shardings(batch_keys, mesh), rep),
         out_shardings=(rep, rep),
         donate_argnums=(0,) if donate else (),

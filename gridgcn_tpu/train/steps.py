@@ -17,6 +17,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import linen as nn
 from flax.training import train_state
@@ -66,7 +67,8 @@ def create_train_state(cfg: Config, model: nn.Module, variables: dict,
     )
 
 
-def _loss_and_logits(cfg: Config, logits: jax.Array, batch: dict):
+def _loss_and_logits(cfg: Config, logits: jax.Array, batch: dict,
+                     class_weights: Optional[jax.Array] = None):
     labels = batch["label"]
     ls = cfg.train.label_smoothing
     if cfg.model.task == "cls":
@@ -79,17 +81,32 @@ def _loss_and_logits(cfg: Config, logits: jax.Array, batch: dict):
                 logits, labels).mean()
         acc = jnp.mean(jnp.argmax(logits, -1) == labels)
         return loss, acc
-    # seg: per-point CE, masked
+    # seg: per-point CE, masked, optionally inverse-frequency weighted
     mask = batch["mask"]
     ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
-    denom = jnp.maximum(jnp.sum(mask), 1)
-    loss = jnp.sum(jnp.where(mask, ce, 0.0)) / denom
-    acc = jnp.sum(jnp.where(mask, jnp.argmax(logits, -1) == labels, False)
-                  ) / denom
+    w = mask.astype(ce.dtype)
+    if class_weights is not None:
+        w = w * class_weights[labels]
+    denom = jnp.maximum(jnp.sum(w), 1e-6)
+    loss = jnp.sum(ce * w) / denom
+    n = jnp.maximum(jnp.sum(mask), 1)
+    acc = jnp.sum(jnp.where(mask, jnp.argmax(logits, -1) == labels, False)) / n
     return loss, acc
 
 
-def build_train_step(cfg: Config, model: nn.Module, sched=None):
+def class_weights_from_dataset(labels, num_classes: int) -> jax.Array:
+    """Inverse-sqrt-frequency class weights (seg), via the native histogram."""
+    from gridgcn_tpu.data import native
+    hist = native.label_histogram(np.asarray(labels), num_classes
+                                  ).astype(np.float64)
+    freq = hist / max(hist.sum(), 1.0)
+    w = 1.0 / np.sqrt(freq + 1e-4)
+    w = w / w.mean()
+    return jnp.asarray(w, jnp.float32)
+
+
+def build_train_step(cfg: Config, model: nn.Module, sched=None,
+                     class_weights: Optional[jax.Array] = None):
     """Raw (unjitted) (state, batch, rng) → (state, metrics) step."""
 
     def step(state: TrainState, batch: dict, rng: jax.Array):
@@ -105,7 +122,7 @@ def build_train_step(cfg: Config, model: nn.Module, sched=None):
                 rngs={"cagq": k_cagq, "dropout": k_drop},
                 mutable=["batch_stats"])
             loss, acc = _loss_and_logits(
-                cfg, logits, {**batch, "mask": mask})
+                cfg, logits, {**batch, "mask": mask}, class_weights)
             return loss, (acc, updates)
 
         (loss, (acc, updates)), grads = jax.value_and_grad(
@@ -122,9 +139,9 @@ def build_train_step(cfg: Config, model: nn.Module, sched=None):
 
 
 def make_train_step(cfg: Config, model: nn.Module, sched=None,
-                    donate: bool = True):
+                    donate: bool = True, class_weights=None):
     """Jitted (state, batch, rng) → (state, metrics) step."""
-    return jax.jit(build_train_step(cfg, model, sched),
+    return jax.jit(build_train_step(cfg, model, sched, class_weights),
                    donate_argnums=(0,) if donate else ())
 
 

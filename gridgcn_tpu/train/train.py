@@ -46,16 +46,24 @@ def train(cfg: Config, mesh_devices: int = 0, log_path: str | None = None):
     state = create_train_state(cfg, model, variables, steps_per_epoch)
     _, sched = make_optimizer(cfg, steps_per_epoch)
 
+    class_weights = None
+    if cfg.train.class_weighting and cfg.model.task == "seg":
+        from gridgcn_tpu.train.steps import class_weights_from_dataset
+        class_weights = class_weights_from_dataset(
+            train_ds.labels, cfg.model.num_classes)
+
     mesh = make_mesh(mesh_devices) if mesh_devices else None
     if mesh is not None:
         batch_keys = ("xyz", "label", "mask") + (
             ("feat",) if train_ds.features is not None else ())
         train_step = make_parallel_train_step(cfg, model, mesh, sched,
-                                              batch_keys=batch_keys)
+                                              batch_keys=batch_keys,
+                                              class_weights=class_weights)
         eval_step = make_parallel_eval_step(cfg, model, mesh,
                                             batch_keys=batch_keys)
     else:
-        train_step = make_train_step(cfg, model, sched)
+        train_step = make_train_step(cfg, model, sched,
+                                     class_weights=class_weights)
         eval_step = make_eval_step(cfg, model)
 
     ckpt = CheckpointManager(cfg.train.ckpt_dir, cfg, keep=cfg.train.keep_ckpts)
