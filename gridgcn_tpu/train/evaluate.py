@@ -76,13 +76,85 @@ def evaluate(ckpt_dir: str, latency: bool = False, log_path=None):
     return s
 
 
+def evaluate_whole_scenes(ckpt_dir: str, votes: int = 3, mesh_devices: int = 0,
+                          log_path=None):
+    """Whole-scene segmentation eval (SURVEY §3.4): every scene is fed at
+    full size (optionally spatially sharded across the mesh) `votes` times
+    with different CAGQ keys; per-point logits are averaged (the reference's
+    block-merging/voting protocol) before the confusion matrix."""
+    import numpy as np
+
+    from gridgcn_tpu.parallel.mesh import make_mesh
+    from gridgcn_tpu.parallel.spatial import sharded_scene_apply
+
+    cfg = CheckpointManager.load_config(ckpt_dir)
+    if cfg.model.task != "seg":
+        raise ValueError("whole-scene eval is a segmentation protocol")
+    log = MetricLogger(log_path)
+
+    model, variables = init_model(cfg, seed=cfg.train.seed)
+    state = create_train_state(cfg, model, variables, steps_per_epoch=1)
+    ckpt = CheckpointManager(ckpt_dir, cfg, keep=cfg.train.keep_ckpts)
+    restored = ckpt.restore(state)
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+    state = restored["state"]
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    val_ds = make_dataset(cfg.data, "test", cfg.model.num_classes,
+                          cfg.model.task)
+    mesh = make_mesh(mesh_devices) if mesh_devices else None
+
+    cm = jnp.zeros((cfg.model.num_classes, cfg.model.num_classes), jnp.int32)
+    from gridgcn_tpu.train.metrics import confusion_matrix
+    for s in range(val_ds.size):
+        xyz = val_ds.points[s]
+        labels = val_ds.labels[s]
+        mask = np.ones(xyz.shape[0], bool)
+        acc_logits = None
+        for v in range(votes):
+            key = jax.random.PRNGKey(1000 * s + v)
+            if mesh is not None:
+                fwd = jax.jit(lambda x, m, key=key: model.apply(
+                    variables, x, None, m, train=False, rngs={"cagq": key}))
+                logits = sharded_scene_apply(
+                    fwd, xyz, mask, mesh,
+                    halo=float(xyz[:, 0].ptp()) / 8,
+                    capacity=xyz.shape[0],
+                    num_outputs=cfg.model.num_classes)
+            else:
+                fwd = jax.jit(lambda x, m, k: model.apply(
+                    variables, x, None, m, train=False, rngs={"cagq": k}))
+                logits = np.asarray(fwd(xyz[None], mask[None], key))[0]
+            acc_logits = logits if acc_logits is None else acc_logits + logits
+        cm = cm + confusion_matrix(
+            jnp.asarray(acc_logits)[None], jnp.asarray(labels)[None],
+            cfg.model.num_classes, jnp.asarray(mask)[None])
+    s_ = summarize_confusion(cm)
+    log.log("whole_scene_eval", scenes=val_ds.size, votes=votes,
+            overall_acc=float(s_["overall_acc"]),
+            mean_class_acc=float(s_["mean_class_acc"]),
+            miou=float(s_["miou"]))
+    log.close()
+    return s_
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="gridgcn_tpu evaluator")
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--latency", action="store_true")
+    p.add_argument("--whole-scene", action="store_true",
+                   help="full-scene seg eval with logit voting")
+    p.add_argument("--votes", type=int, default=3)
+    p.add_argument("--mesh", type=int, default=0,
+                   help="spatially shard each scene over N devices")
     p.add_argument("--log", default=None)
     args = p.parse_args(argv)
-    evaluate(args.ckpt_dir, latency=args.latency, log_path=args.log)
+    if args.whole_scene:
+        evaluate_whole_scenes(args.ckpt_dir, votes=args.votes,
+                              mesh_devices=args.mesh, log_path=args.log)
+    else:
+        evaluate(args.ckpt_dir, latency=args.latency, log_path=args.log)
 
 
 if __name__ == "__main__":

@@ -13,6 +13,7 @@ import os
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 from gridgcn_tpu.configs.base import Config, from_json, to_json
@@ -47,16 +48,33 @@ class CheckpointManager:
 
     def restore(self, state_template: Any, rng_template: jax.Array | None = None,
                 step: int | None = None):
-        """Restore (state, rng) at `step` (default latest); None if empty."""
+        """Restore {'state': ..., 'rng'?: ...} at `step` (default latest);
+        None if no checkpoint exists. Restores the raw on-disk tree and maps
+        it onto the template with flax serialization, so payloads with or
+        without an rng entry both work."""
+        from flax import serialization
+
         step = self._mgr.latest_step() if step is None else step
         if step is None:
             return None
-        payload = {"state": state_template}
-        if rng_template is not None:
-            payload["rng"] = rng_template
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(payload))
-        return restored
+        raw = self._mgr.restore(step)
+
+        def listify(x):
+            # flax state dicts index sequences as {'0': ..}; orbax restores
+            # real lists — normalize before from_state_dict
+            if isinstance(x, (list, tuple)):
+                return {str(i): listify(v) for i, v in enumerate(x)}
+            if isinstance(x, dict):
+                return {k: listify(v) for k, v in x.items()}
+            return x
+
+        out = {"state": serialization.from_state_dict(
+            state_template, listify(raw["state"]))}
+        if "rng" in raw and raw["rng"] is not None:
+            rng = jnp.asarray(raw["rng"])
+            out["rng"] = (rng.astype(jnp.uint32)
+                          if rng.dtype != jnp.uint32 else rng)
+        return out
 
     @staticmethod
     def load_config(directory: str) -> Config:
