@@ -43,8 +43,10 @@ def _time_fn(fn, *args, warmup: int = 2, iters: int = 10) -> float:
     return (time.perf_counter() - t0) / iters
 
 
-def bench_seg_whole_scene(batch_size: int, iters: int):
+def bench_seg_whole_scene(batch_size: int, iters: int, knn: str = "auto"):
     """Whole-scene segmentation inference throughput (BASELINE config 5)."""
+    import dataclasses
+
     from gridgcn_tpu.configs import presets
     from gridgcn_tpu.configs.base import apply_overrides
     from gridgcn_tpu.models.build import init_model
@@ -52,6 +54,11 @@ def bench_seg_whole_scene(batch_size: int, iters: int):
     cfg = presets.get("scannet_whole_scene")
     if batch_size != cfg.data.batch_size:
         cfg = apply_overrides(cfg, {"data.batch_size": batch_size})
+    if knn != "auto":
+        ups = tuple(dataclasses.replace(u, method=knn)
+                    for u in cfg.model.up_layers)
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, up_layers=ups))
     N = cfg.data.num_points
     model, variables = init_model(cfg)
 
@@ -101,10 +108,12 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--knn", default="auto",
+                   choices=["auto", "dense", "pallas", "grid"])
     p.add_argument("--skip-modelnet", action="store_true")
     args = p.parse_args(argv)
 
-    seg = bench_seg_whole_scene(args.batch_size, args.iters)
+    seg = bench_seg_whole_scene(args.batch_size, args.iters, knn=args.knn)
     detail = {"seg_whole_scene": seg,
               "device": str(jax.devices()[0]),
               "baseline_points_per_sec": BASELINE_POINTS_PER_SEC}

@@ -62,10 +62,11 @@ class UpLayerSpec:
     k_interp: int = 3              # nearest neighbors for inverse-distance interp
     context: int = 3               # context neighborhood for the inverse query
     mlp: Tuple[int, ...] = (128, 128)  # post-concat shared MLP
-    # 'dense' = exact MXU brute-force k-NN (fastest when the coarse level is
-    # ≤ ~16K points — always true for this architecture); 'grid' = voxel-table
-    # context query (the reference's gridify_up; scales to huge supports);
-    # 'auto' picks by support size.
+    # 'dense' = exact brute-force k-NN via XLA scan (streamed blocks);
+    # 'pallas' = the fused flash-kNN TPU kernel (same exact semantics, no
+    # HBM intermediates); 'grid' = voxel-table context query (the reference's
+    # gridify_up; scales to huge supports); 'auto' picks dense vs grid by
+    # support size.
     method: str = "auto"
 
 

@@ -57,7 +57,11 @@ class GridGCNSegmentation(nn.Module):
             use_dense = (up.method == "dense"
                          or (up.method == "auto"
                              and c_xyz.shape[1] <= _DENSE_KNN_MAX_SUPPORT))
-            if use_dense:
+            if up.method == "pallas":
+                from gridgcn_tpu.ops.pallas.knn import flash_three_nn
+                nn_idx, weights, _ = flash_three_nn(
+                    d_xyz, d_mask, c_xyz, c_mask, k=up.k_interp)
+            elif use_dense:
                 nn_idx, weights, _ = dense_three_nn(
                     d_xyz, d_mask, c_xyz, c_mask, k=up.k_interp)
             else:
