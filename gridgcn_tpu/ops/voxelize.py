@@ -93,7 +93,7 @@ def grid_bounds(xyz: jax.Array, mask: jax.Array, resolution: int):
     return lo, vsize
 
 
-def _build_one(xyz: jax.Array, mask: jax.Array, perm: jax.Array,
+def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
                resolution: int, nv: int):
     """Single-cloud table build; vmapped over the batch."""
     N = xyz.shape[0]
@@ -102,11 +102,12 @@ def _build_one(xyz: jax.Array, mask: jax.Array, perm: jax.Array,
     origin, vsize = grid_bounds(xyz, mask, resolution)
     vid = voxel_ids(xyz, mask, origin, vsize, resolution)  # [N], V sentinel
 
-    # Shuffle, then stable sort by voxel id: within a voxel, point order is the
-    # random permutation, so the first nv slots are a uniform random subset —
-    # the reference's retention semantics (SURVEY §2.1 F-01).
-    vid_sh = vid[perm]
-    sorted_vid, sorted_pidx = jax.lax.sort((vid_sh, perm), num_keys=1)
+    # One two-key sort: primary = voxel id, secondary = random bits, so the
+    # first nv slots of each voxel are a uniform random subset — the
+    # reference's shuffle-then-retain semantics (SURVEY §2.1 F-01) with a
+    # single sort instead of permutation + stable sort.
+    pidx = jnp.arange(N, dtype=jnp.int32)
+    sorted_vid, _, sorted_pidx = jax.lax.sort((vid, rand, pidx), num_keys=2)
 
     idx = jnp.arange(N, dtype=jnp.int32)
     is_start = jnp.concatenate(
@@ -146,10 +147,9 @@ def build_voxel_table(xyz: jax.Array, mask: jax.Array, resolution: int,
       key: PRNG key driving the random slot-retention shuffle.
     """
     B, N = xyz.shape[:2]
-    perms = jax.vmap(lambda k: jax.random.permutation(k, N).astype(jnp.int32))(
-        jax.random.split(key, B))
+    rand = jax.random.bits(key, (B, N))   # random per-voxel retention order
     slots, ctab, occ, cov, vid, origin, vsize = jax.vmap(
-        lambda x, m, p: _build_one(x, m, p, resolution, nv))(xyz, mask, perms)
+        lambda x, m, r: _build_one(x, m, r, resolution, nv))(xyz, mask, rand)
     return VoxelTable(slots=slots, coord_table=ctab, occupancy=occ,
                       coverage=cov, point_vid=vid, origin=origin, vsize=vsize,
                       resolution=resolution, nv=nv)
