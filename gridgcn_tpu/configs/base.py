@@ -68,6 +68,9 @@ class UpLayerSpec:
     # gridify_up; scales to huge supports); 'auto' picks dense vs grid by
     # support size.
     method: str = "auto"
+    # dense path only: single-matmul + approx_min_k (~0.95 recall/neighbor)
+    # instead of the exact streamed scan — the big-scene inference setting.
+    approx_knn: bool = False
 
 
 @dataclass(frozen=True)

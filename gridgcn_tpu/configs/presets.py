@@ -153,10 +153,11 @@ def scannet_whole_scene() -> Config:
                       approx_select=True),
     )
     up_layers = (
-        UpLayerSpec(resolution=8, nv=32, mlp=(256, 256)),
-        UpLayerSpec(resolution=16, nv=16, mlp=(256, 256)),
-        UpLayerSpec(resolution=32, nv=16, mlp=(256, 128)),
-        UpLayerSpec(resolution=64, nv=16, mlp=(128, 128, 128)),
+        UpLayerSpec(resolution=8, nv=32, mlp=(256, 256), approx_knn=True),
+        UpLayerSpec(resolution=16, nv=16, mlp=(256, 256), approx_knn=True),
+        UpLayerSpec(resolution=32, nv=16, mlp=(256, 128), approx_knn=True),
+        UpLayerSpec(resolution=64, nv=16, mlp=(128, 128, 128),
+                    approx_knn=True),
     )
     return Config(
         name="scannet_whole_scene",

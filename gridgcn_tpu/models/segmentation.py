@@ -63,7 +63,8 @@ class GridGCNSegmentation(nn.Module):
                     d_xyz, d_mask, c_xyz, c_mask, k=up.k_interp)
             elif use_dense:
                 nn_idx, weights, _ = dense_three_nn(
-                    d_xyz, d_mask, c_xyz, c_mask, k=up.k_interp)
+                    d_xyz, d_mask, c_xyz, c_mask, k=up.k_interp,
+                    approx=up.approx_knn)
             else:
                 key = self.make_rng("cagq")
                 nn_idx, weights, _ = grid_three_nn(

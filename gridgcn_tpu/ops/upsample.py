@@ -34,6 +34,7 @@ from gridgcn_tpu.ops.voxelize import (
     COORD_SENTINEL, build_voxel_table, voxel_ids)
 
 _FOUND_THRESH = 1e19
+_BIG = 1e10       # masked-support distance sentinel (dense kNN paths)
 
 
 def _topk_min(d2, k: int):
@@ -147,10 +148,40 @@ def _dense_knn_one(q_xyz, q_mask, s_xyz, s_mask, k: int, block: int):
             jnp.any(nn_valid, axis=-1))
 
 
+def _dense_knn_full_approx(q_xyz, q_mask, s_xyz, s_mask, k: int):
+    """One-shot variant: full [Nq, Ns] distance matrix from a single MXU
+    matmul, reduced with the TPU-native approx_min_k PartialReduce (~0.95
+    recall per neighbor — occasionally the 4th-nearest stands in for the 3rd,
+    which is noise relative to the grid query's own context-window
+    approximation). ~10× faster than the exact scan at whole-scene sizes."""
+    q2 = jnp.sum(q_xyz * q_xyz, axis=-1, keepdims=True)
+    s2 = jnp.sum(s_xyz * s_xyz, axis=-1)
+    cross = jnp.dot(q_xyz, s_xyz.T, preferred_element_type=jnp.float32)
+    d2 = q2 + s2[None, :] - 2.0 * cross
+    d2 = jnp.where(s_mask[None, :], d2, _BIG)
+
+    vals, idx = jax.lax.approx_min_k(d2, k)
+    best_d = jnp.maximum(vals, 0.0)   # guard fp-negative d²
+    nn_valid = (best_d < _BIG * 0.5) & q_mask[:, None]
+    w = jnp.where(nn_valid, 1.0 / (best_d + 1e-8), 0.0)
+    w_sum = jnp.sum(w, axis=-1, keepdims=True)
+    weights = jnp.where(w_sum > 0, w / jnp.maximum(w_sum, 1e-12), 0.0)
+    return (jnp.where(nn_valid, idx, 0), weights,
+            jnp.any(nn_valid, axis=-1))
+
+
 def dense_three_nn(query_xyz: jax.Array, query_mask: jax.Array,
                    support_xyz: jax.Array, support_mask: jax.Array,
-                   k: int = 3, block: int = 2048):
-    """Exact k-NN + inverse-distance weights via MXU brute force (batched)."""
+                   k: int = 3, block: int = 2048, approx: bool = False):
+    """k-NN + inverse-distance weights via MXU brute force (batched).
+
+    approx=False: exact, streamed support blocks (never materializes
+    [Nq, Ns]). approx=True: single matmul + approx_min_k (materializes the
+    distance matrix; fastest on TPU when it fits HBM)."""
+    if approx:
+        return jax.vmap(lambda qx, qm, sx, sm: _dense_knn_full_approx(
+            qx, qm, sx, sm, k))(
+            query_xyz, query_mask, support_xyz, support_mask)
     return jax.vmap(lambda qx, qm, sx, sm: _dense_knn_one(
         qx, qm, sx, sm, k, block))(
         query_xyz, query_mask, support_xyz, support_mask)

@@ -56,6 +56,24 @@ def test_dense_knn_matches_brute_force(rng_key):
     np.testing.assert_allclose(w[:, :190].sum(-1), 1.0, atol=1e-5)
 
 
+def test_dense_knn_approx_mode(rng_key):
+    """approx_min_k path: valid neighbors, normalized weights, (near-)exact
+    on CPU where the fallback is exact."""
+    from gridgcn_tpu.ops import dense_three_nn
+    B, Nq, Ns = 1, 150, 100
+    q = jax.random.uniform(rng_key, (B, Nq, 3))
+    s = jax.random.uniform(jax.random.PRNGKey(12), (B, Ns, 3))
+    qm = jnp.ones((B, Nq), bool)
+    sm = jnp.ones((B, Ns), bool)
+    idx_a, w_a, f_a = dense_three_nn(q, qm, s, sm, k=3, approx=True)
+    idx_e, w_e, f_e = dense_three_nn(q, qm, s, sm, k=3)
+    assert np.asarray(f_a).all()
+    np.testing.assert_allclose(np.asarray(w_a).sum(-1), 1.0, atol=1e-5)
+    # on the CPU backend approx_min_k is exact → same neighbor sets
+    np.testing.assert_array_equal(np.sort(np.asarray(idx_a), -1),
+                                  np.sort(np.asarray(idx_e), -1))
+
+
 def test_weights_sum_to_one_or_zero(rng_key):
     B, Nq, Ns = 2, 200, 32
     q = jax.random.uniform(rng_key, (B, Nq, 3))
