@@ -118,6 +118,7 @@ def _dense_knn_one(q_xyz, q_mask, s_xyz, s_mask, k: int, block: int):
 
     init_d = jnp.full((Nq, k), jnp.inf, q_xyz.dtype)
     init_i = jnp.zeros((Nq, k), jnp.int32)
+    base_iota = jax.lax.broadcasted_iota(jnp.int32, (Nq, block), 1)
 
     def step(carry, inp):
         best_d, best_i = carry
@@ -126,10 +127,8 @@ def _dense_knn_one(q_xyz, q_mask, s_xyz, s_mask, k: int, block: int):
         cross = q_xyz @ sb.T                                   # [Nq, B]  MXU
         d2 = q2 + s2[None, :] - 2.0 * cross
         d2 = jnp.where(mb[None, :], d2, jnp.inf)
-        idx_base = b * block
         cat_d = jnp.concatenate([best_d, d2], axis=-1)         # [Nq, k+B]
-        blk_idx = jax.lax.broadcasted_iota(jnp.int32, (Nq, block), 1) + idx_base
-        cat_i = jnp.concatenate([best_i, blk_idx], axis=-1)
+        cat_i = jnp.concatenate([best_i, base_iota + b * block], axis=-1)
         nd, pos = _topk_min(cat_d, k)
         ni = jnp.take_along_axis(cat_i, pos, axis=-1)
         return (nd, ni), None
