@@ -63,52 +63,54 @@ def _coverage_counts(sel_vids: jax.Array, sel_valid: jax.Array,
 
 
 def _cas_one(occupied: jax.Array, M: int, key: jax.Array,
-             resolution: int, context: int, n_challenges: int):
+             resolution: int, context: int, rounds: int):
+    """Batched-greedy CAS: each round pits M distinct challengers against a
+    random permutation of incumbents and applies every winning swap at once
+    (Jacobi-style — heuristics are evaluated against the round's starting
+    coverage C). The reference's CUDA loop is one-challenge-at-a-time
+    (Gauss-Seidel); the batched variant is the TPU-shaped approximation
+    (SURVEY §7 H3) and the §4.2 property test keeps it honest: coverage must
+    beat RVS in expectation."""
     V = occupied.shape[0]
-    k_init, k_chal, k_slot = jax.random.split(key, 3)
+    k_init, k_rounds = jax.random.split(key)
 
     sel_vids, sel_valid = _rvs_one(occupied, M, k_init)
     sel_mask = jnp.zeros((V + 1,), bool).at[
-        jnp.where(sel_valid, sel_vids, V)].set(True)[:V]
+        jnp.where(sel_valid, sel_vids, V)].set(True)
     C = _coverage_counts(sel_vids, sel_valid, resolution, context)  # [V+1]
 
-    # Challengers: random occupied voxels not selected at init. Sampled once
-    # up front (Gumbel top-k) and walked in rounds; voxels that become
-    # selected mid-scan are skipped via the live sel_mask.
-    g = jax.random.gumbel(k_chal, (V,))
-    chal_score = jnp.where(occupied & ~sel_mask, g, _NEG_INF)
-    n_pool = min(V, max(n_challenges, 1))
-    _, pool = jax.lax.top_k(chal_score, n_pool)
-    pool_valid = (occupied & ~sel_mask)[pool]
-    reps = -(-n_challenges // n_pool)
-    challengers = jnp.tile(pool.astype(jnp.int32), reps)[:n_challenges]
-    chal_ok = jnp.tile(pool_valid, reps)[:n_challenges]
-    incumbent_slots = jax.random.randint(k_slot, (n_challenges,), 0, M)
-
-    def step(carry, inp):
+    def round_fn(carry, rkey):
         sel_vids, sel_valid, sel_mask, C = carry
-        c, ok, slot = inp
-        i = sel_vids[slot]
-        i_valid = sel_valid[slot]
-        ok = ok & ~sel_mask[c] & i_valid
+        k_chal, k_perm = jax.random.split(rkey)
 
-        c_nb, c_inb = context_neighbors(c, resolution, context)   # [P]
-        i_nb, i_inb = context_neighbors(i, resolution, context)
-        h_add = jnp.sum(jnp.where(c_inb, (C[c_nb] == 0).astype(jnp.int32), 0))
-        h_rmv = jnp.sum(jnp.where(i_inb, (C[i_nb] == 1).astype(jnp.int32), 0))
-        do_swap = ok & (h_add > h_rmv)
+        g = jax.random.gumbel(k_chal, (V,))
+        avail = occupied & ~sel_mask[:V]
+        _, chal = jax.lax.top_k(jnp.where(avail, g, _NEG_INF), M)
+        chal = chal.astype(jnp.int32)
+        chal_ok = avail[chal]
 
-        dc = jnp.where(do_swap & c_inb, c_nb, V)
-        di = jnp.where(do_swap & i_inb, i_nb, V)
+        slot = jax.random.permutation(k_perm, M)       # incumbent per chall.
+        inc = sel_vids[slot]
+        inc_valid = sel_valid[slot]
+
+        c_nb, c_inb = context_neighbors(chal, resolution, context)  # [M, P]
+        i_nb, i_inb = context_neighbors(inc, resolution, context)
+        h_add = jnp.sum((C[c_nb] == 0) & c_inb, axis=-1)
+        h_rmv = jnp.sum((C[i_nb] == 1) & i_inb, axis=-1)
+        swap = chal_ok & inc_valid & (h_add > h_rmv)
+
+        sel_vids = sel_vids.at[slot].set(jnp.where(swap, chal, inc))
+        sel_mask = sel_mask.at[jnp.where(swap, chal, V)].set(True)
+        sel_mask = sel_mask.at[jnp.where(swap, inc, V)].set(False)
+        dc = jnp.where(swap[:, None] & c_inb, c_nb, V).reshape(-1)
+        di = jnp.where(swap[:, None] & i_inb, i_nb, V).reshape(-1)
         C = C.at[dc].add(1).at[di].add(-1)
-        sel_vids = sel_vids.at[slot].set(jnp.where(do_swap, c, i))
-        sel_mask = sel_mask.at[c].set(jnp.where(do_swap, True, sel_mask[c]))
-        sel_mask = sel_mask.at[i].set(jnp.where(do_swap, False, sel_mask[i]))
+        C = C.at[V].set(0)
         return (sel_vids, sel_valid, sel_mask, C), None
 
     (sel_vids, sel_valid, _, _), _ = jax.lax.scan(
-        step, (sel_vids, sel_valid, sel_mask, C),
-        (challengers, chal_ok, incumbent_slots))
+        round_fn, (sel_vids, sel_valid, sel_mask, C),
+        jax.random.split(k_rounds, max(1, rounds)))
     return sel_vids, sel_valid
 
 
@@ -116,13 +118,11 @@ def sample_centers_cas(table: VoxelTable, M: int, key: jax.Array,
                        context: int = 3, cas_iters: int = 1):
     """Coverage-Aware Sampling. Returns (center_vids, center_valid).
 
-    `cas_iters` scales the challenge budget: n_challenges = cas_iters * M,
-    bounding the sequential scan (SURVEY §7 H3). The result is approximate-CAS
-    for small budgets but provably ≥ RVS coverage in expectation (tested).
-    """
+    `cas_iters` = number of batched challenge rounds (each round issues M
+    challenges in parallel). Approximate-CAS, provably ≥ RVS coverage in
+    expectation (§4.2 property test)."""
     B = table.coverage.shape[0]
     keys = jax.random.split(key, B)
-    n_challenges = max(1, cas_iters * M)
     return jax.vmap(lambda o, k: _cas_one(
-        o, M, k, table.resolution, context, n_challenges))(
+        o, M, k, table.resolution, context, cas_iters))(
             table.coverage > 0, keys)
