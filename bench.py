@@ -104,6 +104,37 @@ def bench_modelnet40_latency(iters: int):
     return {"batch_size": B, "num_points": N, "latency_ms": dt * 1000}
 
 
+def bench_cagq_vs_fps(iters: int):
+    """Data-structuring speedup (paper's 'up to ~50× vs FPS+ball query'):
+    time CAGQ (voxel build + RVS + node gather) against FPS + ball query at
+    the whole-scene L1 setting (N=81920 → M=8192 centers, K=32)."""
+    import jax.numpy as jnp
+
+    from gridgcn_tpu.configs import presets
+    from gridgcn_tpu.ops import cagq
+    from gridgcn_tpu.ops.fps import ball_query, farthest_point_sampling
+
+    cfg = presets.get("scannet_whole_scene")
+    spec = cfg.model.layers[0]
+    N, M, K = cfg.data.num_points, spec.n_centers, spec.k_neighbors
+    rng = jax.random.PRNGKey(0)
+    xyz = jax.random.uniform(rng, (1, N, 3), minval=0.0, maxval=6.0)
+    mask = jnp.ones((1, N), bool)
+
+    cagq_fn = jax.jit(lambda x, m, k: cagq(
+        x, m, spec, k).groups.neighbor_idx.sum())
+    fps_fn = jax.jit(lambda x, m, k: ball_query(
+        x, m, jnp.take_along_axis(
+            x, farthest_point_sampling(x, m, M, k)[..., None], axis=1),
+        0.1, K)[0].sum())
+
+    t_cagq = _time_fn(cagq_fn, xyz, mask, rng, iters=iters)
+    t_fps = _time_fn(fps_fn, xyz, mask, rng, iters=max(2, iters // 3))
+    return {"n_points": N, "m_centers": M, "k": K,
+            "cagq_ms": t_cagq * 1000, "fps_ball_ms": t_fps * 1000,
+            "speedup": t_fps / t_cagq}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch-size", type=int, default=1)
@@ -111,6 +142,8 @@ def main(argv=None):
     p.add_argument("--knn", default="auto",
                    choices=["auto", "dense", "pallas", "grid"])
     p.add_argument("--skip-modelnet", action="store_true")
+    p.add_argument("--compare-fps", action="store_true",
+                   help="also time CAGQ vs FPS+ball-query data structuring")
     args = p.parse_args(argv)
 
     seg = bench_seg_whole_scene(args.batch_size, args.iters, knn=args.knn)
@@ -119,6 +152,8 @@ def main(argv=None):
               "baseline_points_per_sec": BASELINE_POINTS_PER_SEC}
     if not args.skip_modelnet:
         detail["modelnet40"] = bench_modelnet40_latency(args.iters)
+    if args.compare_fps:
+        detail["cagq_vs_fps"] = bench_cagq_vs_fps(args.iters)
     print(json.dumps(detail), file=sys.stderr)
 
     result = {
