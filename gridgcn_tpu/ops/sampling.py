@@ -28,20 +28,36 @@ _NEG_INF = -1e30
 
 def _rvs_one(occupied: jax.Array, M: int, key: jax.Array,
              approx: bool = False):
-    """Uniform sample of M distinct occupied voxels via Gumbel top-k.
+    """Uniform sample of M distinct occupied voxels.
 
-    `approx=True` uses the TPU-optimized approx_max_k PartialReduce instead
-    of a full sort — the selection is random anyway, so a ~0.95-recall top-k
-    is still a uniform sample (validity masks cover the rest)."""
+    approx=False: exact Gumbel top-k (a full sort over V — the reference
+    semantics, used at classifier scales).
+
+    approx=True (whole-scene scale): threshold sampling — each occupied voxel
+    independently kept with probability p chosen so the binomial count stays
+    below M w.h.p., compacted into the M slots with a cumsum (sort-free; a
+    top-k with k in the thousands degenerates into a V-wide sort on TPU).
+    Yields an unbiased uniform subset of expected size M−3√M; the shortfall
+    rides the center-validity mask like any other partially-filled capacity."""
     V = occupied.shape[0]
-    g = jax.random.gumbel(key, (V,))
-    score = jnp.where(occupied, g, _NEG_INF)
-    if approx:
-        vals, vids = jax.lax.approx_max_k(score, M)
-    else:
+    if not approx:
+        g = jax.random.gumbel(key, (V,))
+        score = jnp.where(occupied, g, _NEG_INF)
         vals, vids = jax.lax.top_k(score, M)
-    valid = vals > _NEG_INF * 0.5
-    return vids.astype(jnp.int32), valid
+        valid = vals > _NEG_INF * 0.5
+        return vids.astype(jnp.int32), valid
+
+    n_occ = jnp.sum(occupied)
+    u = jax.random.uniform(key, (V,))
+    p = jnp.clip((M - 3.0 * jnp.sqrt(float(M))) / jnp.maximum(n_occ, 1),
+                 0.0, 1.0)
+    sel = occupied & jnp.where(n_occ <= M, True, u < p)
+    rank = jnp.cumsum(sel) - 1
+    dest = jnp.where(sel & (rank < M), rank, M)
+    vids = jnp.full((M + 1,), -1, jnp.int32).at[dest].set(
+        jnp.arange(V, dtype=jnp.int32))[:M]
+    valid = vids >= 0
+    return jnp.maximum(vids, 0), valid
 
 
 def sample_centers_rvs(table: VoxelTable, M: int, key: jax.Array,
