@@ -4,6 +4,7 @@ from gridgcn_tpu.ops.gather import GroupedNodes, gather_nodes, center_positions
 from gridgcn_tpu.ops.cagq import CAGQOutput, cagq
 from gridgcn_tpu.ops.upsample import (
     dense_three_nn, grid_three_nn, three_nn_interpolate)
+from gridgcn_tpu.ops.fps import ball_query, farthest_point_sampling
 
 __all__ = [
     "VoxelTable",
@@ -19,4 +20,6 @@ __all__ = [
     "dense_three_nn",
     "grid_three_nn",
     "three_nn_interpolate",
+    "ball_query",
+    "farthest_point_sampling",
 ]

@@ -107,6 +107,12 @@ def evaluate_whole_scenes(ckpt_dir: str, votes: int = 3, mesh_devices: int = 0,
 
     cm = jnp.zeros((cfg.model.num_classes, cfg.model.num_classes), jnp.int32)
     from gridgcn_tpu.train.metrics import confusion_matrix
+
+    fwd = jax.jit(lambda x, m, k: model.apply(
+        variables, x, None, m, train=False, rngs={"cagq": k}))
+    fwd_sharded = jax.jit(lambda x, m, k: model.apply(
+        variables, x, None, m, train=False, rngs={"cagq": k}))
+
     for s in range(val_ds.size):
         xyz = val_ds.points[s]
         labels = val_ds.labels[s]
@@ -115,16 +121,12 @@ def evaluate_whole_scenes(ckpt_dir: str, votes: int = 3, mesh_devices: int = 0,
         for v in range(votes):
             key = jax.random.PRNGKey(1000 * s + v)
             if mesh is not None:
-                fwd = jax.jit(lambda x, m, key=key: model.apply(
-                    variables, x, None, m, train=False, rngs={"cagq": key}))
                 logits = sharded_scene_apply(
-                    fwd, xyz, mask, mesh,
-                    halo=float(xyz[:, 0].ptp()) / 8,
+                    lambda x, m: fwd_sharded(x, m, key), xyz, mask, mesh,
+                    halo=float(np.ptp(xyz[:, 0])) / 8,
                     capacity=xyz.shape[0],
                     num_outputs=cfg.model.num_classes)
             else:
-                fwd = jax.jit(lambda x, m, k: model.apply(
-                    variables, x, None, m, train=False, rngs={"cagq": k}))
                 logits = np.asarray(fwd(xyz[None], mask[None], key))[0]
             acc_logits = logits if acc_logits is None else acc_logits + logits
         cm = cm + confusion_matrix(
