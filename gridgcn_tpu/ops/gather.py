@@ -67,55 +67,41 @@ def _gather_one(slots, coord_table, coverage, center_vids, center_valid, key,
     nvid, inb = context_neighbors(center_vids, resolution, context)  # [M, P]
     inb = inb & center_valid[:, None]
 
-    # Context rows along z are ADJACENT table rows, and the whole (dy, dz)
-    # block of one dx-plane spans a CONTIGUOUS range of L = 2rR + 2r + 1 rows
-    # (linear id = ((x*R)+y)*R+z). So the context³ walk is `context` long-run
-    # gathers per center (one per dx) + static slicing of the runs — gather
-    # *op count* is what XLA's TPU lowering charges for, so 3 slices/center
-    # beats 9 or 27 (SURVEY §7 H4). Extraction order (dx, dy, dz ascending)
-    # matches context_neighbors' flat order, so downstream indexing and the
-    # golden files are unchanged.
+    # Context rows along z are ADJACENT table rows (linear id = ((x*R)+y)*R+z),
+    # so the 3×3×3 walk is 9 contiguous 3-row runs instead of 27 row gathers —
+    # one lax.gather with slice size (context, row) per table, 3× fewer
+    # gathered rows (SURVEY §7 H4). Run order (dx slowest, dz fastest) matches
+    # context_neighbors' flat order, so downstream indexing is unchanged.
     r = (context - 1) // 2
-    R = resolution
-    L = 2 * r * R + 2 * r + 1
-    pad_top = r * (R * R + R + 1)
-    H = V + 2 * pad_top + L
-    dxs = jnp.asarray([(d - r) * R * R for d in range(context)], jnp.int32)
-    # padded run start: vid + dx·R² − (rR + r) + pad_top; ≥ 0 for every
-    # in-bounds center; the clip only moves fully-masked runs (sentinel /
-    # out-of-grid centers).
-    start = (jnp.minimum(center_vids, V)[:, None] + dxs[None, :]
-             + (pad_top - r * R - r))                        # [M, context]
-    start = jnp.clip(start, 0, H - L)
+    P2 = context * context
+    offs2 = context_offsets(context).reshape(P2, context, 3)[:, 0, :2]  # (dx,dy)
+    d2lin = jnp.asarray(offs2[:, 0] * resolution * resolution
+                        + offs2[:, 1] * resolution, jnp.int32)  # [P2]
+    # Tables padded with r sentinel rows on top + context rows below, so a
+    # run starting at (vid + d2lin - r) maps to padded index (vid + d2lin),
+    # which is ≥ 0 for every in-bounds (dx, dy); the clip only moves runs of
+    # fully-masked pairs (out-of-grid (dx,dy) or sentinel centers).
+    base = jnp.minimum(center_vids, V)[:, None] + d2lin[None, :]
+    base = jnp.clip(base, 0, r + V)
 
-    def padt(tab, fill):
-        width = tab.shape[1:]
-        top = jnp.full((pad_top, *width), fill, tab.dtype)
-        bot = jnp.full((H - V - pad_top, *width), fill, tab.dtype)
-        return jnp.concatenate([top, tab, bot], axis=0)
+    slots_p = jnp.concatenate(
+        [jnp.full((r, nv), -1, slots.dtype), slots,
+         jnp.full((context, nv), -1, slots.dtype)], axis=0)
+    ctab_p = jnp.concatenate(
+        [jnp.full((r, 3 * nv), COORD_SENTINEL, coord_table.dtype), coord_table,
+         jnp.full((context - 1, 3 * nv), COORD_SENTINEL, coord_table.dtype)],
+        axis=0)
+    cov_p = jnp.concatenate(
+        [jnp.zeros((r,), coverage.dtype), coverage,
+         jnp.zeros((context,), coverage.dtype)], axis=0)
 
-    slots_p = padt(slots, -1)
-    ctab_p = padt(coord_table[:V], COORD_SENTINEL)
-    cov_p = padt(coverage, 0)
-
-    fs = start.reshape(-1)
-    runs_idx = jax.vmap(lambda b: jax.lax.dynamic_slice_in_dim(
-        slots_p, b, L, 0))(fs).reshape(M, context, L, nv)
-    runs_crd = jax.vmap(lambda b: jax.lax.dynamic_slice_in_dim(
-        ctab_p, b, L, 0))(fs).reshape(M, context, L, 3 * nv)
-    runs_cov = jax.vmap(lambda b: jax.lax.dynamic_slice_in_dim(
-        cov_p, b, L, 0))(fs).reshape(M, context, L)
-
-    def extract(runs):
-        # row of (dy, dz) inside a run sits at dy·R + dz + rR + r; dz runs
-        # are contiguous, so one static slice per dy
-        parts = [runs[:, :, dy * R: dy * R + context]
-                 for dy in range(context)]
-        return jnp.stack(parts, axis=2)  # [M, ctx(dx), ctx(dy), ctx(dz), ...]
-
-    cand_idx = extract(runs_idx).reshape(M, P, nv)
-    crows = extract(runs_crd).reshape(M, P, 3, nv)
-    cand_cov = extract(runs_cov).reshape(M, P)
+    flat_base = base.reshape(-1)
+    cand_idx = jax.vmap(lambda b: jax.lax.dynamic_slice_in_dim(
+        slots_p, b, context, 0))(flat_base).reshape(M, P, nv)
+    crows = jax.vmap(lambda b: jax.lax.dynamic_slice_in_dim(
+        ctab_p, b, context, 0))(flat_base).reshape(M, P, 3, nv)
+    cand_cov = jax.vmap(lambda b: jax.lax.dynamic_slice_in_dim(
+        cov_p, b, context, 0))(flat_base).reshape(M, P)
 
     cand_valid = (cand_idx >= 0) & inb[..., None]
     crows = jnp.where(inb[..., None, None], crows, COORD_SENTINEL)
