@@ -113,12 +113,18 @@ def _gather_one(slots, coord_table, coverage, center_vids, center_valid, key,
 
     # Random K-subset of the valid candidates: valid scores live in (1, 2),
     # invalid are 0, so top-K picks valid first and uniformly among them.
+    # K may exceed the candidate pool (small context/nv configs): select
+    # min(K, P·nv) and pad the rest as invalid.
+    kk = min(K, P * nv)
     r = jax.random.uniform(key, (M, P * nv))
     score = jnp.where(cand_valid, 1.0 + r, 0.0)
-    if approx:
-        top_score, top_pos = jax.lax.approx_max_k(score, K)
+    if approx and kk < P * nv:
+        top_score, top_pos = jax.lax.approx_max_k(score, kk)
     else:
-        top_score, top_pos = jax.lax.top_k(score, K)         # [M, K]
+        top_score, top_pos = jax.lax.top_k(score, kk)        # [M, kk]
+    if kk < K:
+        top_score = jnp.pad(top_score, ((0, 0), (0, K - kk)))
+        top_pos = jnp.pad(top_pos, ((0, 0), (0, K - kk)))
     neighbor_mask = top_score > 0.5
     neighbor_idx = jnp.take_along_axis(cand_idx, top_pos, axis=-1)
     neighbor_idx = jnp.where(neighbor_mask, neighbor_idx, 0)
