@@ -43,7 +43,7 @@ def cagq(xyz: jax.Array, mask: jax.Array, spec: GridLayerSpec,
     else:
         raise ValueError(f"unknown sampler: {spec.sampler}")
 
-    groups = gather_nodes(table, center_vids, center_valid,
+    groups = gather_nodes(table, xyz, center_vids, center_valid,
                           spec.k_neighbors, spec.context, k_gather,
                           center_mode=spec.center_mode,
                           approx=spec.approx_select)

@@ -12,11 +12,13 @@ same semantics as the reference's randomized retention, fully deterministic
 under the PRNG key (SURVEY §7 H6). All outputs are padded/masked to static
 shapes for XLA.
 
-TPU layout (SURVEY §7 H4): node *coordinates* come from the packed
-`coord_table` rows (contiguous row-gather per context voxel + dense
-take_along_axis), not from a per-node scalar gather into the [N, 3] point
-array — so the only irregular gather left downstream is the wide-row feature
-gather in GridConv.
+TPU layout (SURVEY §7 H4, validated by device traces): candidate indices and
+coverage come from contiguous 3-row-run gathers over the padded tables (the
+gathers themselves cost <1 ms/layer); winner coordinates are fetched AFTER
+selection with one small [winners → xyz] gather. Selecting coordinates from
+packed candidate rows (per-axis take_along_axis) looks cheaper on paper but
+costs ~14 ms/layer in XLA's lowering. The packed coord_table still serves
+center barycenters and the F-05 grid query.
 """
 
 from __future__ import annotations
@@ -55,9 +57,9 @@ class GroupedNodes:
     center_vids: jax.Array
 
 
-def _gather_one(slots, coord_table, coverage, center_vids, center_valid, key,
-                resolution: int, K: int, context: int, center_mode: str,
-                origin, vsize, approx: bool = False):
+def _gather_one(slots, coord_table, coverage, xyz, center_vids,
+                center_valid, key, resolution: int, K: int, context: int,
+                center_mode: str, origin, vsize, approx: bool = False):
     """Single-cloud gather; vmapped over the batch."""
     V = resolution ** 3
     nv = slots.shape[-1]
@@ -87,10 +89,6 @@ def _gather_one(slots, coord_table, coverage, center_vids, center_valid, key,
     slots_p = jnp.concatenate(
         [jnp.full((r, nv), -1, slots.dtype), slots,
          jnp.full((context, nv), -1, slots.dtype)], axis=0)
-    ctab_p = jnp.concatenate(
-        [jnp.full((r, 3 * nv), COORD_SENTINEL, coord_table.dtype), coord_table,
-         jnp.full((context - 1, 3 * nv), COORD_SENTINEL, coord_table.dtype)],
-        axis=0)
     cov_p = jnp.concatenate(
         [jnp.zeros((r,), coverage.dtype), coverage,
          jnp.zeros((context,), coverage.dtype)], axis=0)
@@ -98,13 +96,10 @@ def _gather_one(slots, coord_table, coverage, center_vids, center_valid, key,
     flat_base = base.reshape(-1)
     cand_idx = jax.vmap(lambda b: jax.lax.dynamic_slice_in_dim(
         slots_p, b, context, 0))(flat_base).reshape(M, P, nv)
-    crows = jax.vmap(lambda b: jax.lax.dynamic_slice_in_dim(
-        ctab_p, b, context, 0))(flat_base).reshape(M, P, 3, nv)
     cand_cov = jax.vmap(lambda b: jax.lax.dynamic_slice_in_dim(
         cov_p, b, context, 0))(flat_base).reshape(M, P)
 
     cand_valid = (cand_idx >= 0) & inb[..., None]
-    crows = jnp.where(inb[..., None, None], crows, COORD_SENTINEL)
 
     cand_idx = cand_idx.reshape(M, P * nv)
     cand_valid = cand_valid.reshape(M, P * nv)
@@ -131,10 +126,11 @@ def _gather_one(slots, coord_table, coverage, center_vids, center_valid, key,
     node_coverage = jnp.where(
         neighbor_mask, jnp.take_along_axis(cand_cov, top_pos, axis=-1), 0)
 
-    # node coordinates from the packed table (dense take_along_axis per axis)
-    axes = [jnp.take_along_axis(crows[:, :, a, :].reshape(M, P * nv),
-                                top_pos, axis=-1) for a in range(3)]
-    node_xyz = jnp.stack(axes, -1)                            # [M, K, 3]
+    # Winner coordinates come from one small [K-winners → xyz] gather AFTER
+    # selection (262K rows at whole-scene scale) — selecting coords from the
+    # packed candidate rows via per-axis take_along_axis costs ~14 ms/layer
+    # in XLA's lowering (profiled), 20× the gather itself.
+    node_xyz = xyz[neighbor_idx]                              # [M, K, 3]
     node_xyz = jnp.where(neighbor_mask[..., None], node_xyz, 0.0)
 
     center_xyz = center_positions(
@@ -163,18 +159,18 @@ def center_positions(coord_table, center_vids, center_valid, resolution: int,
     raise ValueError(f"unknown center_mode: {mode}")
 
 
-def gather_nodes(table: VoxelTable, center_vids: jax.Array,
+def gather_nodes(table: VoxelTable, xyz: jax.Array, center_vids: jax.Array,
                  center_valid: jax.Array, K: int, context: int,
                  key: jax.Array, center_mode: str = "barycenter",
                  approx: bool = False) -> GroupedNodes:
-    """Batched F-04 gather; centers from F-02/F-03."""
+    """Batched F-04 gather; centers from F-02/F-03; xyz = level points."""
     B = table.slots.shape[0]
     keys = jax.random.split(key, B)
     nidx, nmask, nxyz, ncov, cxyz = jax.vmap(
-        lambda s, ct, c, cv, va, k, o, vs: _gather_one(
-            s, ct, c, cv, va, k, table.resolution, K, context, center_mode,
-            o, vs, approx))(
-        table.slots, table.coord_table, table.coverage, center_vids,
+        lambda s, ct, c, x, cv, va, k, o, vs: _gather_one(
+            s, ct, c, x, cv, va, k, table.resolution, K, context,
+            center_mode, o, vs, approx))(
+        table.slots, table.coord_table, table.coverage, xyz, center_vids,
         center_valid, keys, table.origin, table.vsize)
     return GroupedNodes(neighbor_idx=nidx, neighbor_mask=nmask,
                         node_xyz=nxyz, node_coverage=ncov, center_xyz=cxyz,
