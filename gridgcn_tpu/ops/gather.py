@@ -29,7 +29,7 @@ from flax import struct
 
 from gridgcn_tpu.ops.gridutil import (
     context_neighbors, context_offsets, vid_to_coords)
-from gridgcn_tpu.ops.voxelize import COORD_SENTINEL, VoxelTable
+from gridgcn_tpu.ops.voxelize import VoxelTable
 
 
 @struct.dataclass
@@ -57,7 +57,7 @@ class GroupedNodes:
     center_vids: jax.Array
 
 
-def _gather_one(slots, coord_table, coverage, xyz, center_vids,
+def _gather_one(slots, coord_sums, occupancy, coverage, xyz, center_vids,
                 center_valid, key, resolution: int, K: int, context: int,
                 center_mode: str, origin, vsize, approx: bool = False):
     """Single-cloud gather; vmapped over the batch."""
@@ -134,23 +134,22 @@ def _gather_one(slots, coord_table, coverage, xyz, center_vids,
     node_xyz = jnp.where(neighbor_mask[..., None], node_xyz, 0.0)
 
     center_xyz = center_positions(
-        coord_table, center_vids, center_valid, resolution, center_mode,
-        origin, vsize, nv)
+        coord_sums, occupancy, center_vids, center_valid, resolution,
+        center_mode, origin, vsize)
     return neighbor_idx, neighbor_mask, node_xyz, node_coverage, center_xyz
 
 
-def center_positions(coord_table, center_vids, center_valid, resolution: int,
-                     mode: str, origin, vsize, nv: int):
+def center_positions(coord_sums, occupancy, center_vids, center_valid,
+                     resolution: int, mode: str, origin, vsize):
     """Group-center positions: stored-point barycenter or geometric voxel
     center (paper §3.1 ambiguity → config flag, SURVEY §2.1 F-02)."""
     V = resolution ** 3
     safe_vid = jnp.where(center_valid, center_vids, V)
     if mode == "barycenter":
-        crow = coord_table[safe_vid].reshape(-1, 3, nv)       # [M, 3, nv]
-        valid = crow[:, 0, :] < COORD_SENTINEL * 0.5          # [M, nv]
-        w = valid[:, None, :].astype(coord_table.dtype)
-        denom = jnp.maximum(jnp.sum(w, axis=-1), 1.0)         # [M, 1→3]
-        return jnp.sum(jnp.where(w > 0, crow, 0.0), axis=-1) / denom
+        sums = coord_sums[:, safe_vid].T                      # [M, 3]
+        cnt = jnp.where(center_valid,
+                        occupancy[jnp.minimum(safe_vid, V - 1)], 0)
+        return sums / jnp.maximum(cnt, 1)[:, None].astype(sums.dtype)
     elif mode == "voxel_center":
         cx, cy, cz = vid_to_coords(jnp.minimum(center_vids, V - 1), resolution)
         coords = jnp.stack([cx, cy, cz], -1).astype(origin.dtype) + 0.5
@@ -167,11 +166,11 @@ def gather_nodes(table: VoxelTable, xyz: jax.Array, center_vids: jax.Array,
     B = table.slots.shape[0]
     keys = jax.random.split(key, B)
     nidx, nmask, nxyz, ncov, cxyz = jax.vmap(
-        lambda s, ct, c, x, cv, va, k, o, vs: _gather_one(
-            s, ct, c, x, cv, va, k, table.resolution, K, context,
+        lambda s, cs, oc, c, x, cv, va, k, o, vs: _gather_one(
+            s, cs, oc, c, x, cv, va, k, table.resolution, K, context,
             center_mode, o, vs, approx))(
-        table.slots, table.coord_table, table.coverage, xyz, center_vids,
-        center_valid, keys, table.origin, table.vsize)
+        table.slots, table.coord_sums, table.occupancy, table.coverage, xyz,
+        center_vids, center_valid, keys, table.origin, table.vsize)
     return GroupedNodes(neighbor_idx=nidx, neighbor_mask=nmask,
                         node_xyz=nxyz, node_coverage=ncov, center_xyz=cxyz,
                         center_valid=center_valid, center_vids=center_vids)

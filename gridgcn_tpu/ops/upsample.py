@@ -197,7 +197,8 @@ def grid_three_nn(query_xyz: jax.Array, query_mask: jax.Array,
       weights: [B, Nq, k] inverse-distance weights (rows sum to 1 or 0)
       found:   [B, Nq] bool — at least one support point in context
     """
-    table = build_voxel_table(support_xyz, support_mask, resolution, nv, key)
+    table = build_voxel_table(support_xyz, support_mask, resolution, nv, key,
+                              with_coords=True)
     return jax.vmap(
         lambda qx, qm, ct, sl, o, vs: _three_nn_one(
             qx, qm, ct, sl, o, vs, resolution, nv, k, context, chunk))(

@@ -43,9 +43,14 @@ class VoxelTable:
     Attributes:
       slots:       [B, V, nv] int32 — indices into the level's point array;
                    -1 marks an empty slot.
-      coord_table: [B, V+1, 3*nv] — packed slot coordinates
+      coord_table: [B, V+1, 3*nv] or None — packed slot coordinates
                    [x0..x_{nv-1} | y0.. | z0..]; empty slots and row V (the
-                   out-of-grid sentinel) hold +COORD_SENTINEL.
+                   out-of-grid sentinel) hold +COORD_SENTINEL. Built only
+                   with `with_coords=True` (the F-05 grid query needs it;
+                   F-04 does not — device traces showed its consumption
+                   pipeline dominates, see ops/gather.py).
+      coord_sums:  [B, 3, V+1] — per-voxel sums of *stored* point
+                   coordinates (barycenters = sums / occupancy).
       occupancy:   [B, V] int32 — number of stored points per voxel (≤ nv).
       coverage:    [B, V] int32 — raw number of points per voxel (un-capped);
                    this is the coverage weight consumed by GCA attention.
@@ -58,7 +63,8 @@ class VoxelTable:
     """
 
     slots: jax.Array
-    coord_table: jax.Array
+    coord_table: jax.Array | None
+    coord_sums: jax.Array
     occupancy: jax.Array
     coverage: jax.Array
     point_vid: jax.Array
@@ -94,7 +100,7 @@ def grid_bounds(xyz: jax.Array, mask: jax.Array, resolution: int):
 
 
 def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
-               resolution: int, nv: int):
+               resolution: int, nv: int, with_coords: bool):
     """Single-cloud table build; vmapped over the batch."""
     N = xyz.shape[0]
     V = resolution ** 3
@@ -120,23 +126,33 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
     slots = jnp.full((V * nv + 1,), -1, jnp.int32).at[dest].set(sorted_pidx)
     slots = slots[: V * nv].reshape(V, nv)
 
-    # packed coordinate table, scattered directly in its final
-    # [V+1, 3*nv] = [x-slots | y-slots | z-slots] layout (no transpose pass):
-    # axis a of the point at (voxel, rank) lands at vid*3nv + a*nv + rank.
     coords = xyz[sorted_pidx]                                    # [N, 3]
-    vox_base = jnp.where(keep, sorted_vid * (3 * nv) + rank, (V + 1) * 3 * nv)
-    dest3 = jnp.concatenate([vox_base, vox_base + nv, vox_base + 2 * nv])
-    vals3 = jnp.concatenate([coords[:, 0], coords[:, 1], coords[:, 2]])
-    cflat = jnp.full(((V + 1) * 3 * nv + 1,), COORD_SENTINEL, xyz.dtype)
-    coord_table = cflat.at[dest3].set(vals3)[:-1].reshape(V + 1, 3 * nv)
+
+    # per-voxel sums of STORED coordinates (drives barycenters): three
+    # scatter-adds into a [3, V+1] row layout (lane-major, no 3→128 padding)
+    sum_dest = jnp.where(keep, sorted_vid, V)
+    coord_sums = jnp.zeros((3, V + 1), xyz.dtype).at[:, sum_dest].add(coords.T)
+
+    coord_table = None
+    if with_coords:
+        # packed coordinate table, scattered directly in its final
+        # [V+1, 3*nv] = [x-slots | y-slots | z-slots] layout: axis a of the
+        # point at (voxel, rank) lands at vid*3nv + a*nv + rank.
+        vox_base = jnp.where(keep, sorted_vid * (3 * nv) + rank,
+                             (V + 1) * 3 * nv)
+        dest3 = jnp.concatenate([vox_base, vox_base + nv, vox_base + 2 * nv])
+        vals3 = jnp.concatenate([coords[:, 0], coords[:, 1], coords[:, 2]])
+        cflat = jnp.full(((V + 1) * 3 * nv + 1,), COORD_SENTINEL, xyz.dtype)
+        coord_table = cflat.at[dest3].set(vals3)[:-1].reshape(V + 1, 3 * nv)
 
     coverage = jnp.zeros((V + 1,), jnp.int32).at[vid].add(1)[:V]
     occupancy = jnp.minimum(coverage, nv)
-    return slots, coord_table, occupancy, coverage, vid, origin, vsize
+    return slots, coord_table, coord_sums, occupancy, coverage, vid, origin, vsize
 
 
 def build_voxel_table(xyz: jax.Array, mask: jax.Array, resolution: int,
-                      nv: int, key: jax.Array) -> VoxelTable:
+                      nv: int, key: jax.Array,
+                      with_coords: bool = False) -> VoxelTable:
     """Build fixed-capacity voxel tables for a batch of point clouds.
 
     Args:
@@ -145,13 +161,17 @@ def build_voxel_table(xyz: jax.Array, mask: jax.Array, resolution: int,
       resolution: grid edge; V = resolution³ voxels.
       nv: per-voxel slot capacity.
       key: PRNG key driving the random slot-retention shuffle.
+      with_coords: also build the packed [V+1, 3nv] coordinate table
+        (needed by the F-05 grid query; skipped by F-04).
     """
     B, N = xyz.shape[:2]
     rand = jax.random.bits(key, (B, N))   # random per-voxel retention order
-    slots, ctab, occ, cov, vid, origin, vsize = jax.vmap(
-        lambda x, m, r: _build_one(x, m, r, resolution, nv))(xyz, mask, rand)
-    return VoxelTable(slots=slots, coord_table=ctab, occupancy=occ,
-                      coverage=cov, point_vid=vid, origin=origin, vsize=vsize,
+    slots, ctab, csum, occ, cov, vid, origin, vsize = jax.vmap(
+        lambda x, m, r: _build_one(x, m, r, resolution, nv, with_coords))(
+        xyz, mask, rand)
+    return VoxelTable(slots=slots, coord_table=ctab, coord_sums=csum,
+                      occupancy=occ, coverage=cov, point_vid=vid,
+                      origin=origin, vsize=vsize,
                       resolution=resolution, nv=nv)
 
 
