@@ -106,25 +106,50 @@ def _gather_one(slots, coord_sums, occupancy, coverage, xyz, center_vids,
     cand_cov = jnp.where(inb, cand_cov, 0)
     cand_cov = jnp.broadcast_to(cand_cov[..., None], (M, P, nv)).reshape(M, P * nv)
 
-    # Random K-subset of the valid candidates: valid scores live in (1, 2),
-    # invalid are 0, so top-K picks valid first and uniformly among them.
-    # K may exceed the candidate pool (small context/nv configs): select
-    # min(K, P·nv) and pad the rest as invalid.
+    # Random K-subset of the valid candidates. K may exceed the candidate
+    # pool (small context/nv configs): select min(K, P·nv), pad as invalid.
     kk = min(K, P * nv)
-    r = jax.random.uniform(key, (M, P * nv))
-    score = jnp.where(cand_valid, 1.0 + r, 0.0)
-    if approx and kk < P * nv:
-        top_score, top_pos = jax.lax.approx_max_k(score, kk)
+    N_pts = xyz.shape[0]
+    idx_bits = max(1, int(N_pts - 1).bit_length())
+    cov_bits = 6
+    rand_bits = 30 - idx_bits - cov_bits
+
+    if approx and rand_bits >= 4:
+        # Packed-key selection: top-k over int32 keys
+        #   [valid:1 | random:rand_bits | log-coverage:6 | point index]
+        # returns winners WITH their payload, so no take_along_axis follows —
+        # per-element take_along costs ~2.5 ms per [8K, 432] selection in
+        # XLA's TPU lowering (profiled), the top_k itself only ~0.5 ms.
+        # Tie-break within a random bucket prefers high-coverage nodes (the
+        # paper's coverage-weighting spirit); selection stays deterministic
+        # per PRNG key.
+        rbits = (jax.random.bits(key, (M, P * nv))
+                 >> (32 - rand_bits)).astype(jnp.int32)
+        cov_q = jnp.minimum(cand_cov, (1 << cov_bits) - 1)
+        packed = ((cand_valid.astype(jnp.int32) << 30)
+                  | (rbits << (idx_bits + cov_bits))
+                  | (cov_q << idx_bits) | jnp.maximum(cand_idx, 0))
+        top_keys, _ = jax.lax.top_k(packed, kk)             # [M, kk]
+        if kk < K:
+            top_keys = jnp.pad(top_keys, ((0, 0), (0, K - kk)))
+        neighbor_mask = top_keys >= (1 << 30)
+        neighbor_idx = jnp.where(neighbor_mask,
+                                 top_keys & ((1 << idx_bits) - 1), 0)
+        node_coverage = jnp.where(
+            neighbor_mask, (top_keys >> idx_bits) & ((1 << cov_bits) - 1), 0)
     else:
+        # exact path: float scores in (1, 2), invalid 0 — uniform among valid
+        r = jax.random.uniform(key, (M, P * nv))
+        score = jnp.where(cand_valid, 1.0 + r, 0.0)
         top_score, top_pos = jax.lax.top_k(score, kk)        # [M, kk]
-    if kk < K:
-        top_score = jnp.pad(top_score, ((0, 0), (0, K - kk)))
-        top_pos = jnp.pad(top_pos, ((0, 0), (0, K - kk)))
-    neighbor_mask = top_score > 0.5
-    neighbor_idx = jnp.take_along_axis(cand_idx, top_pos, axis=-1)
-    neighbor_idx = jnp.where(neighbor_mask, neighbor_idx, 0)
-    node_coverage = jnp.where(
-        neighbor_mask, jnp.take_along_axis(cand_cov, top_pos, axis=-1), 0)
+        if kk < K:
+            top_score = jnp.pad(top_score, ((0, 0), (0, K - kk)))
+            top_pos = jnp.pad(top_pos, ((0, 0), (0, K - kk)))
+        neighbor_mask = top_score > 0.5
+        neighbor_idx = jnp.take_along_axis(cand_idx, top_pos, axis=-1)
+        neighbor_idx = jnp.where(neighbor_mask, neighbor_idx, 0)
+        node_coverage = jnp.where(
+            neighbor_mask, jnp.take_along_axis(cand_cov, top_pos, axis=-1), 0)
 
     # Winner coordinates come from one small [K-winners → xyz] gather AFTER
     # selection (262K rows at whole-scene scale) — selecting coords from the
