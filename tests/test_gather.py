@@ -122,6 +122,33 @@ def test_padding_invariance(rng_key):
                                np.asarray(out2.groups.center_xyz))
 
 
+def test_packed_key_selection_invariants(rng_key):
+    """approx_select packed-key path: nodes valid, within context, coverage
+    payload correct (quantized at 63), deterministic."""
+    spec = GridLayerSpec(resolution=8, nv=4, n_centers=48, k_neighbors=16,
+                         approx_select=True)
+    xyz = jax.random.uniform(rng_key, (2, 400, 3), minval=-1, maxval=1)
+    mask = jnp.ones((2, 400), bool)
+    out = cagq(xyz, mask, spec, rng_key)
+    g = out.groups
+    vid = np.asarray(out.table.point_vid)
+    cov = np.asarray(out.table.coverage)
+    nidx = np.asarray(g.neighbor_idx)
+    nm = np.asarray(g.neighbor_mask)
+    ncov = np.asarray(g.node_coverage)
+    cvid = np.asarray(g.center_vids)
+    for b in range(2):
+        sel = nidx[b][nm[b]]
+        node_vids = vid[b][sel]
+        d = oracle_np.chebyshev_voxel_dist(
+            node_vids, np.repeat(cvid[b][:, None], 16, 1)[nm[b]], 8)
+        assert (d <= 1).all()
+        np.testing.assert_array_equal(
+            ncov[b][nm[b]], np.minimum(cov[b][node_vids], 63))
+    out2 = cagq(xyz, mask, spec, rng_key)
+    np.testing.assert_array_equal(np.asarray(out2.groups.neighbor_idx), nidx)
+
+
 def test_index_determinism(rng_key):
     out1, _, _ = _run(rng_key)
     out2, _, _ = _run(rng_key)
