@@ -86,18 +86,18 @@ def _gather_one(slots, coord_sums, occupancy, coverage, xyz, center_vids,
     base = jnp.minimum(center_vids, V)[:, None] + d2lin[None, :]
     base = jnp.clip(base, 0, r + V)
 
+    # coverage rides as an extra column of the slots table so the context
+    # walk is ONE run gather (1-D coverage slices cost ~2 ms/scene alone)
+    slots_cov = jnp.concatenate([slots, coverage[:, None]], axis=1)
     slots_p = jnp.concatenate(
-        [jnp.full((r, nv), -1, slots.dtype), slots,
-         jnp.full((context, nv), -1, slots.dtype)], axis=0)
-    cov_p = jnp.concatenate(
-        [jnp.zeros((r,), coverage.dtype), coverage,
-         jnp.zeros((context,), coverage.dtype)], axis=0)
+        [jnp.full((r, nv + 1), -1, slots.dtype), slots_cov,
+         jnp.full((context, nv + 1), -1, slots.dtype)], axis=0)
 
     flat_base = base.reshape(-1)
-    cand_idx = jax.vmap(lambda b: jax.lax.dynamic_slice_in_dim(
-        slots_p, b, context, 0))(flat_base).reshape(M, P, nv)
-    cand_cov = jax.vmap(lambda b: jax.lax.dynamic_slice_in_dim(
-        cov_p, b, context, 0))(flat_base).reshape(M, P)
+    runs = jax.vmap(lambda b: jax.lax.dynamic_slice_in_dim(
+        slots_p, b, context, 0))(flat_base).reshape(M, P, nv + 1)
+    cand_idx = runs[..., :nv]
+    cand_cov = jnp.maximum(runs[..., nv], 0)
 
     cand_valid = (cand_idx >= 0) & inb[..., None]
 
@@ -171,7 +171,8 @@ def center_positions(coord_sums, occupancy, center_vids, center_valid,
     V = resolution ** 3
     safe_vid = jnp.where(center_valid, center_vids, V)
     if mode == "barycenter":
-        sums = coord_sums[:, safe_vid].T                      # [M, 3]
+        # three 1-D gathers beat one axis-1 gather of [3, V+1] (profiled)
+        sums = jnp.stack([coord_sums[a][safe_vid] for a in range(3)], -1)
         cnt = jnp.where(center_valid,
                         occupancy[jnp.minimum(safe_vid, V - 1)], 0)
         return sums / jnp.maximum(cnt, 1)[:, None].astype(sums.dtype)

@@ -159,8 +159,10 @@ def _dense_knn_full_approx(q_xyz, q_mask, s_xyz, s_mask, k: int):
     d2 = q2 + s2[None, :] - 2.0 * cross
     d2 = jnp.where(s_mask[None, :], d2, _BIG)
 
-    vals, idx = jax.lax.approx_min_k(d2, k)
-    best_d = jnp.maximum(vals, 0.0)   # guard fp-negative d²
+    # the [Nq, Ns] matrix is pure HBM traffic between the matmul and the
+    # PartialReduce; bf16 halves it (≲1% weight perturbation at these scales)
+    vals, idx = jax.lax.approx_min_k(d2.astype(jnp.bfloat16), k)
+    best_d = jnp.maximum(vals.astype(jnp.float32), 0.0)  # guard fp-negative
     nn_valid = (best_d < _BIG * 0.5) & q_mask[:, None]
     w = jnp.where(nn_valid, 1.0 / (best_d + 1e-8), 0.0)
     w_sum = jnp.sum(w, axis=-1, keepdims=True)
