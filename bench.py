@@ -104,6 +104,43 @@ def bench_modelnet40_latency(iters: int):
     return {"batch_size": B, "num_points": N, "latency_ms": dt * 1000}
 
 
+def bench_train_step(iters: int):
+    """Training throughput (points/sec) on the ScanNet-crop seg config —
+    full jitted step: on-device augment + CAGQ + forward + backward + Adam."""
+    import jax.numpy as jnp
+
+    from gridgcn_tpu.configs import presets
+    from gridgcn_tpu.data.pipeline import make_dataset
+    from gridgcn_tpu.models.build import init_model
+    from gridgcn_tpu.train.steps import create_train_state, build_train_step
+
+    cfg = presets.get("scannet_seg")
+    model, variables = init_model(cfg)
+    ds = make_dataset(cfg.data, "train", cfg.model.num_classes, "seg")
+    state = create_train_state(cfg, model, variables, 100)
+    raw = build_train_step(cfg, model)
+
+    @jax.jit
+    def step(state, batch, rng):
+        state, metrics = raw(state, batch, rng)
+        return state, metrics["loss"]
+
+    batch = {k: jnp.asarray(v) for k, v in
+             next(ds.batches(cfg.data.batch_size, seed=0)).items()}
+    rng = jax.random.PRNGKey(0)
+
+    state, loss = step(state, batch, rng)
+    float(loss)                                   # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, batch, rng)
+    float(loss)
+    dt = (time.perf_counter() - t0) / iters
+    pts = cfg.data.batch_size * cfg.data.num_points
+    return {"config": cfg.name, "batch_points": pts,
+            "step_ms": dt * 1000, "train_points_per_sec": pts / dt}
+
+
 def bench_cagq_vs_fps(iters: int):
     """Data-structuring speedup (paper's 'up to ~50× vs FPS+ball query'):
     time CAGQ (voxel build + RVS + node gather) against FPS + ball query at
@@ -144,6 +181,8 @@ def main(argv=None):
     p.add_argument("--skip-modelnet", action="store_true")
     p.add_argument("--compare-fps", action="store_true",
                    help="also time CAGQ vs FPS+ball-query data structuring")
+    p.add_argument("--train", action="store_true",
+                   help="also time the full training step (scannet_seg)")
     args = p.parse_args(argv)
 
     seg = bench_seg_whole_scene(args.batch_size, args.iters, knn=args.knn)
@@ -154,6 +193,8 @@ def main(argv=None):
         detail["modelnet40"] = bench_modelnet40_latency(args.iters)
     if args.compare_fps:
         detail["cagq_vs_fps"] = bench_cagq_vs_fps(args.iters)
+    if args.train:
+        detail["train_step"] = bench_train_step(args.iters)
     print(json.dumps(detail), file=sys.stderr)
 
     result = {

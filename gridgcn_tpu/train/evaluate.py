@@ -60,15 +60,12 @@ def evaluate(ckpt_dir: str, latency: bool = False, log_path=None):
             wall_s=round(time.time() - t0, 3))
 
     if latency:
+        from gridgcn_tpu.utils.profiling import steady_state_time
         batch = next(val_ds.batches(cfg.data.eval_batch_size, seed=0,
                                     shuffle=False))
         dev = {k: jax.device_put(v) for k, v in batch.items()}
-        eval_step(state, dev, rng).block_until_ready()   # warmup/compile
-        iters = 20
-        t0 = time.time()
-        for _ in range(iters):
-            eval_step(state, dev, rng).block_until_ready()
-        dt = (time.time() - t0) / iters
+        timed = jax.jit(lambda s, b, r: eval_step(s, b, r).sum())
+        dt = steady_state_time(timed, state, dev, rng, iters=20)
         log.log("latency", batch_ms=round(dt * 1000, 3),
                 points_per_sec=cfg.data.eval_batch_size
                 * cfg.data.num_points / dt)
