@@ -29,6 +29,11 @@ class GridGCNClassifier(nn.Module):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
 
+        if cfg.use_xyz_feature:
+            # absolute position as an input feature (PointNet++ convention);
+            # relative geometry is always present via GCA's Δp encoding
+            feat = xyz if feat is None else jnp.concatenate([xyz, feat], -1)
+
         conv_cls = nn.remat(GridConv, static_argnums=(4,)) if cfg.remat \
             else GridConv
         for i, spec in enumerate(cfg.layers):

@@ -39,6 +39,10 @@ class GridGCNSegmentation(nn.Module):
         if len(cfg.up_layers) != len(cfg.layers):
             raise ValueError("seg model needs one up_layer per encoder layer")
 
+        if cfg.use_xyz_feature:
+            # absolute position as an input feature (PointNet++ convention)
+            feat = xyz if feat is None else jnp.concatenate([xyz, feat], -1)
+
         # ---- encoder ----
         conv_cls = nn.remat(GridConv, static_argnums=(4,)) if cfg.remat \
             else GridConv
