@@ -31,7 +31,8 @@ def cagq(xyz: jax.Array, mask: jax.Array, spec: GridLayerSpec,
     Index tensors are bitwise-deterministic for a fixed key (SURVEY §7 H6).
     """
     k_build, k_sample, k_gather = jax.random.split(key, 3)
-    table = build_voxel_table(xyz, mask, spec.resolution, spec.nv, k_build)
+    table = build_voxel_table(xyz, mask, spec.resolution, spec.nv, k_build,
+                              with_keys=spec.approx_select)
 
     if spec.sampler == "rvs":
         center_vids, center_valid = sample_centers_rvs(

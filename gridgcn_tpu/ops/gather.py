@@ -57,9 +57,10 @@ class GroupedNodes:
     center_vids: jax.Array
 
 
-def _gather_one(slots, coord_sums, occupancy, coverage, xyz, center_vids,
-                center_valid, key, resolution: int, K: int, context: int,
-                center_mode: str, origin, vsize, approx: bool = False):
+def _gather_one(slots, key_table, coord_sums, occupancy, coverage, xyz,
+                center_vids, center_valid, key, resolution: int, K: int,
+                context: int, center_mode: str, origin, vsize,
+                approx: bool = False):
     """Single-cloud gather; vmapped over the batch."""
     V = resolution ** 3
     nv = slots.shape[-1]
@@ -86,50 +87,28 @@ def _gather_one(slots, coord_sums, occupancy, coverage, xyz, center_vids,
     base = jnp.minimum(center_vids, V)[:, None] + d2lin[None, :]
     base = jnp.clip(base, 0, r + V)
 
-    # coverage rides as an extra column of the slots table so the context
-    # walk is ONE run gather (1-D coverage slices cost ~2 ms/scene alone)
-    slots_cov = jnp.concatenate([slots, coverage[:, None]], axis=1)
-    slots_p = jnp.concatenate(
-        [jnp.full((r, nv + 1), -1, slots.dtype), slots_cov,
-         jnp.full((context, nv + 1), -1, slots.dtype)], axis=0)
-
-    flat_base = base.reshape(-1)
-    runs = jax.vmap(lambda b: jax.lax.dynamic_slice_in_dim(
-        slots_p, b, context, 0))(flat_base).reshape(M, P, nv + 1)
-    cand_idx = runs[..., :nv]
-    cand_cov = jnp.maximum(runs[..., nv], 0)
-
-    cand_valid = (cand_idx >= 0) & inb[..., None]
-
-    cand_idx = cand_idx.reshape(M, P * nv)
-    cand_valid = cand_valid.reshape(M, P * nv)
-    cand_cov = jnp.where(inb, cand_cov, 0)
-    cand_cov = jnp.broadcast_to(cand_cov[..., None], (M, P, nv)).reshape(M, P * nv)
-
-    # Random K-subset of the valid candidates. K may exceed the candidate
-    # pool (small context/nv configs): select min(K, P·nv), pad as invalid.
+    # K may exceed the candidate pool (small context/nv configs): select
+    # min(K, P·nv), pad as invalid.
     kk = min(K, P * nv)
     N_pts = xyz.shape[0]
     idx_bits = max(1, int(N_pts - 1).bit_length())
     cov_bits = 6
-    rand_bits = 30 - idx_bits - cov_bits
+    flat_base = base.reshape(-1)
 
-    if approx and rand_bits >= 4:
-        # Packed-key selection: top-k over int32 keys
-        #   [valid:1 | random:rand_bits | log-coverage:6 | point index]
-        # returns winners WITH their payload, so no take_along_axis follows —
-        # per-element take_along costs ~2.5 ms per [8K, 432] selection in
-        # XLA's TPU lowering (profiled), the top_k itself only ~0.5 ms.
-        # Tie-break within a random bucket prefers high-coverage nodes (the
-        # paper's coverage-weighting spirit); selection stays deterministic
-        # per PRNG key.
-        rbits = (jax.random.bits(key, (M, P * nv))
-                 >> (32 - rand_bits)).astype(jnp.int32)
-        cov_q = jnp.minimum(cand_cov, (1 << cov_bits) - 1)
-        packed = ((cand_valid.astype(jnp.int32) << 30)
-                  | (rbits << (idx_bits + cov_bits))
-                  | (cov_q << idx_bits) | jnp.maximum(cand_idx, 0))
-        top_keys, _ = jax.lax.top_k(packed, kk)             # [M, kk]
+    if approx and key_table is not None:
+        # Packed-key selection: the voxel table carries precomputed int32
+        # keys [valid | random | log-coverage | point index] (voxelize.py),
+        # so this whole stage is ONE run gather + top_k — the sort returns
+        # winners WITH their payload. A take_along-based selection costs
+        # ~2.5 ms per [8K, 432] array in XLA's lowering (profiled); the
+        # top_k itself is ~0.5 ms.
+        keys_p = jnp.concatenate(
+            [jnp.zeros((r, nv), key_table.dtype), key_table,
+             jnp.zeros((context, nv), key_table.dtype)], axis=0)
+        cand_keys = jax.vmap(lambda b: jax.lax.dynamic_slice_in_dim(
+            keys_p, b, context, 0))(flat_base).reshape(M, P, nv)
+        cand_keys = jnp.where(inb[..., None], cand_keys, 0)
+        top_keys, _ = jax.lax.top_k(cand_keys.reshape(M, P * nv), kk)
         if kk < K:
             top_keys = jnp.pad(top_keys, ((0, 0), (0, K - kk)))
         neighbor_mask = top_keys >= (1 << 30)
@@ -138,9 +117,27 @@ def _gather_one(slots, coord_sums, occupancy, coverage, xyz, center_vids,
         node_coverage = jnp.where(
             neighbor_mask, (top_keys >> idx_bits) & ((1 << cov_bits) - 1), 0)
     else:
-        # exact path: float scores in (1, 2), invalid 0 — uniform among valid
-        r = jax.random.uniform(key, (M, P * nv))
-        score = jnp.where(cand_valid, 1.0 + r, 0.0)
+        # exact path: coverage rides as an extra column of the slots table
+        # so the context walk is one run gather; float scores in (1, 2),
+        # invalid 0 — uniform among valid.
+        slots_cov = jnp.concatenate([slots, coverage[:, None]], axis=1)
+        slots_p = jnp.concatenate(
+            [jnp.full((r, nv + 1), -1, slots.dtype), slots_cov,
+             jnp.full((context, nv + 1), -1, slots.dtype)], axis=0)
+        runs = jax.vmap(lambda b: jax.lax.dynamic_slice_in_dim(
+            slots_p, b, context, 0))(flat_base).reshape(M, P, nv + 1)
+        cand_idx = runs[..., :nv]
+        cand_cov = jnp.maximum(runs[..., nv], 0)
+        cand_valid = (cand_idx >= 0) & inb[..., None]
+
+        cand_idx = cand_idx.reshape(M, P * nv)
+        cand_valid = cand_valid.reshape(M, P * nv)
+        cand_cov = jnp.where(inb, cand_cov, 0)
+        cand_cov = jnp.broadcast_to(
+            cand_cov[..., None], (M, P, nv)).reshape(M, P * nv)
+
+        rscore = jax.random.uniform(key, (M, P * nv))
+        score = jnp.where(cand_valid, 1.0 + rscore, 0.0)
         top_score, top_pos = jax.lax.top_k(score, kk)        # [M, kk]
         if kk < K:
             top_score = jnp.pad(top_score, ((0, 0), (0, K - kk)))
@@ -192,11 +189,12 @@ def gather_nodes(table: VoxelTable, xyz: jax.Array, center_vids: jax.Array,
     B = table.slots.shape[0]
     keys = jax.random.split(key, B)
     nidx, nmask, nxyz, ncov, cxyz = jax.vmap(
-        lambda s, cs, oc, c, x, cv, va, k, o, vs: _gather_one(
-            s, cs, oc, c, x, cv, va, k, table.resolution, K, context,
+        lambda s, kt, cs, oc, c, x, cv, va, k, o, vs: _gather_one(
+            s, kt, cs, oc, c, x, cv, va, k, table.resolution, K, context,
             center_mode, o, vs, approx))(
-        table.slots, table.coord_sums, table.occupancy, table.coverage, xyz,
-        center_vids, center_valid, keys, table.origin, table.vsize)
+        table.slots, table.key_table, table.coord_sums, table.occupancy,
+        table.coverage, xyz, center_vids, center_valid, keys,
+        table.origin, table.vsize)
     return GroupedNodes(neighbor_idx=nidx, neighbor_mask=nmask,
                         node_xyz=nxyz, node_coverage=ncov, center_xyz=cxyz,
                         center_valid=center_valid, center_vids=center_vids)

@@ -43,6 +43,13 @@ class VoxelTable:
     Attributes:
       slots:       [B, V, nv] int32 — indices into the level's point array;
                    -1 marks an empty slot.
+      key_table:   [B, V, nv] int32 or None — selection keys
+                   [valid:1 | random | log2-ish coverage:6 | point index],
+                   precomputed so the F-04 approx path is run-gather + top_k
+                   with zero post-selection gathers (with_keys=True).
+                   Randomness is per-point (all centers rank a shared
+                   candidate identically — the reference's per-voxel
+                   retention semantics).
       coord_table: [B, V+1, 3*nv] or None — packed slot coordinates
                    [x0..x_{nv-1} | y0.. | z0..]; empty slots and row V (the
                    out-of-grid sentinel) hold +COORD_SENTINEL. Built only
@@ -63,6 +70,7 @@ class VoxelTable:
     """
 
     slots: jax.Array
+    key_table: jax.Array | None
     coord_table: jax.Array | None
     coord_sums: jax.Array
     occupancy: jax.Array
@@ -100,7 +108,7 @@ def grid_bounds(xyz: jax.Array, mask: jax.Array, resolution: int):
 
 
 def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
-               resolution: int, nv: int, with_coords: bool):
+               resolution: int, nv: int, with_coords: bool, with_keys: bool):
     """Single-cloud table build; vmapped over the batch."""
     N = xyz.shape[0]
     V = resolution ** 3
@@ -113,7 +121,8 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
     # reference's shuffle-then-retain semantics (SURVEY §2.1 F-01) with a
     # single sort instead of permutation + stable sort.
     pidx = jnp.arange(N, dtype=jnp.int32)
-    sorted_vid, _, sorted_pidx = jax.lax.sort((vid, rand, pidx), num_keys=2)
+    sorted_vid, sorted_rand, sorted_pidx = jax.lax.sort(
+        (vid, rand, pidx), num_keys=2)
 
     idx = jnp.arange(N, dtype=jnp.int32)
     is_start = jnp.concatenate(
@@ -125,6 +134,27 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
     dest = jnp.where(keep, sorted_vid * nv + rank, V * nv)
     slots = jnp.full((V * nv + 1,), -1, jnp.int32).at[dest].set(sorted_pidx)
     slots = slots[: V * nv].reshape(V, nv)
+
+    key_table = None
+    if with_keys:
+        # precomputed selection keys (see VoxelTable docstring). Segment
+        # length (= voxel coverage) in sorted order without a gather: the
+        # next segment start via a reversed cumulative min.
+        idx_bits = max(1, int(N - 1).bit_length())
+        cov_bits = 6
+        rand_bits = max(1, 30 - idx_bits - cov_bits)
+        nxt_src = jnp.where(
+            jnp.concatenate([is_start[1:], jnp.ones((1,), bool)]),
+            idx + 1, N)
+        next_start = jnp.flip(jax.lax.cummin(jnp.flip(nxt_src)))
+        seg_len = next_start - seg_start
+        cov_q = jnp.minimum(seg_len, (1 << cov_bits) - 1)
+        rbits = (sorted_rand >> (32 - rand_bits)).astype(jnp.int32)
+        keys = ((keep.astype(jnp.int32) << 30)
+                | (rbits << (idx_bits + cov_bits))
+                | (cov_q << idx_bits) | sorted_pidx)
+        key_table = jnp.zeros((V * nv + 1,), jnp.int32).at[dest].set(keys)
+        key_table = key_table[: V * nv].reshape(V, nv)
 
     coords = xyz[sorted_pidx]                                    # [N, 3]
 
@@ -147,12 +177,13 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
 
     coverage = jnp.zeros((V + 1,), jnp.int32).at[vid].add(1)[:V]
     occupancy = jnp.minimum(coverage, nv)
-    return slots, coord_table, coord_sums, occupancy, coverage, vid, origin, vsize
+    return (slots, key_table, coord_table, coord_sums, occupancy, coverage,
+            vid, origin, vsize)
 
 
 def build_voxel_table(xyz: jax.Array, mask: jax.Array, resolution: int,
-                      nv: int, key: jax.Array,
-                      with_coords: bool = False) -> VoxelTable:
+                      nv: int, key: jax.Array, with_coords: bool = False,
+                      with_keys: bool = False) -> VoxelTable:
     """Build fixed-capacity voxel tables for a batch of point clouds.
 
     Args:
@@ -163,15 +194,17 @@ def build_voxel_table(xyz: jax.Array, mask: jax.Array, resolution: int,
       key: PRNG key driving the random slot-retention shuffle.
       with_coords: also build the packed [V+1, 3nv] coordinate table
         (needed by the F-05 grid query; skipped by F-04).
+      with_keys: also build the precomputed selection-key table (used by
+        the F-04 approx path).
     """
     B, N = xyz.shape[:2]
     rand = jax.random.bits(key, (B, N))   # random per-voxel retention order
-    slots, ctab, csum, occ, cov, vid, origin, vsize = jax.vmap(
-        lambda x, m, r: _build_one(x, m, r, resolution, nv, with_coords))(
-        xyz, mask, rand)
-    return VoxelTable(slots=slots, coord_table=ctab, coord_sums=csum,
-                      occupancy=occ, coverage=cov, point_vid=vid,
-                      origin=origin, vsize=vsize,
+    slots, ktab, ctab, csum, occ, cov, vid, origin, vsize = jax.vmap(
+        lambda x, m, r: _build_one(x, m, r, resolution, nv, with_coords,
+                                   with_keys))(xyz, mask, rand)
+    return VoxelTable(slots=slots, key_table=ktab, coord_table=ctab,
+                      coord_sums=csum, occupancy=occ, coverage=cov,
+                      point_vid=vid, origin=origin, vsize=vsize,
                       resolution=resolution, nv=nv)
 
 
