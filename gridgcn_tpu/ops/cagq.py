@@ -32,7 +32,8 @@ def cagq(xyz: jax.Array, mask: jax.Array, spec: GridLayerSpec,
     """
     k_build, k_sample, k_gather = jax.random.split(key, 3)
     table = build_voxel_table(xyz, mask, spec.resolution, spec.nv, k_build,
-                              with_keys=spec.approx_select)
+                              with_keys=spec.approx_select,
+                              with_slots=not spec.approx_select)
 
     if spec.sampler == "rvs":
         center_vids, center_valid = sample_centers_rvs(

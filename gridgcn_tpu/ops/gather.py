@@ -63,7 +63,7 @@ def _gather_one(slots, key_table, coord_sums, occupancy, coverage, xyz,
                 approx: bool = False):
     """Single-cloud gather; vmapped over the batch."""
     V = resolution ** 3
-    nv = slots.shape[-1]
+    nv = (key_table if slots is None else slots).shape[-1]
     M = center_vids.shape[0]
     P = context ** 3
 
@@ -186,7 +186,7 @@ def gather_nodes(table: VoxelTable, xyz: jax.Array, center_vids: jax.Array,
                  key: jax.Array, center_mode: str = "barycenter",
                  approx: bool = False) -> GroupedNodes:
     """Batched F-04 gather; centers from F-02/F-03; xyz = level points."""
-    B = table.slots.shape[0]
+    B = table.coverage.shape[0]
     keys = jax.random.split(key, B)
     nidx, nmask, nxyz, ncov, cxyz = jax.vmap(
         lambda s, kt, cs, oc, c, x, cv, va, k, o, vs: _gather_one(

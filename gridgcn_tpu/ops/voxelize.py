@@ -41,8 +41,8 @@ class VoxelTable:
     """Fixed-capacity voxel table for one grid level.
 
     Attributes:
-      slots:       [B, V, nv] int32 — indices into the level's point array;
-                   -1 marks an empty slot.
+      slots:       [B, V, nv] int32 or None — indices into the level's
+                   point array; -1 marks an empty slot (with_slots=True).
       key_table:   [B, V, nv] int32 or None — selection keys
                    [valid:1 | random | log2-ish coverage:6 | point index],
                    precomputed so the F-04 approx path is run-gather + top_k
@@ -69,7 +69,7 @@ class VoxelTable:
       nv:          static int — slot capacity per voxel.
     """
 
-    slots: jax.Array
+    slots: jax.Array | None
     key_table: jax.Array | None
     coord_table: jax.Array | None
     coord_sums: jax.Array
@@ -108,7 +108,8 @@ def grid_bounds(xyz: jax.Array, mask: jax.Array, resolution: int):
 
 
 def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
-               resolution: int, nv: int, with_coords: bool, with_keys: bool):
+               resolution: int, nv: int, with_coords: bool, with_keys: bool,
+               with_slots: bool):
     """Single-cloud table build; vmapped over the batch."""
     N = xyz.shape[0]
     V = resolution ** 3
@@ -132,8 +133,11 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
 
     keep = (sorted_vid < V) & (rank < nv)
     dest = jnp.where(keep, sorted_vid * nv + rank, V * nv)
-    slots = jnp.full((V * nv + 1,), -1, jnp.int32).at[dest].set(sorted_pidx)
-    slots = slots[: V * nv].reshape(V, nv)
+    slots = None
+    if with_slots:
+        slots = jnp.full((V * nv + 1,), -1,
+                         jnp.int32).at[dest].set(sorted_pidx)
+        slots = slots[: V * nv].reshape(V, nv)
 
     key_table = None
     if with_keys:
@@ -183,7 +187,8 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
 
 def build_voxel_table(xyz: jax.Array, mask: jax.Array, resolution: int,
                       nv: int, key: jax.Array, with_coords: bool = False,
-                      with_keys: bool = False) -> VoxelTable:
+                      with_keys: bool = False,
+                      with_slots: bool = True) -> VoxelTable:
     """Build fixed-capacity voxel tables for a batch of point clouds.
 
     Args:
@@ -196,12 +201,14 @@ def build_voxel_table(xyz: jax.Array, mask: jax.Array, resolution: int,
         (needed by the F-05 grid query; skipped by F-04).
       with_keys: also build the precomputed selection-key table (used by
         the F-04 approx path).
+      with_slots: build the index slot table (the F-04 approx path reads
+        indices out of key_table instead, saving the scatter).
     """
     B, N = xyz.shape[:2]
     rand = jax.random.bits(key, (B, N))   # random per-voxel retention order
     slots, ktab, ctab, csum, occ, cov, vid, origin, vsize = jax.vmap(
         lambda x, m, r: _build_one(x, m, r, resolution, nv, with_coords,
-                                   with_keys))(xyz, mask, rand)
+                                   with_keys, with_slots))(xyz, mask, rand)
     return VoxelTable(slots=slots, key_table=ktab, coord_table=ctab,
                       coord_sums=csum, occupancy=occ, coverage=cov,
                       point_vid=vid, origin=origin, vsize=vsize,
