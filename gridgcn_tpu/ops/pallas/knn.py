@@ -1,5 +1,15 @@
 """Pallas TPU kernel: streaming exact k-NN ("flash-kNN").
 
+STATUS: EXPERIMENTAL — correct under interpret mode (CPU tests pass and match
+brute force exactly) but on real v5e hardware the compiled kernel returns
+wrong neighbor sets (~13% exact-set match vs brute force; suspected Mosaic
+issue around the read-modify-write of the VMEM distance scratch in the
+unrolled argmin passes), and at 81920×8192 it is ~2× slower than the XLA
+approx_min_k path, which is already at its HBM-traffic floor. It is NOT wired
+into any default path (UpLayerSpec.method='pallas' selects it explicitly);
+kept as the template for round-2 kernel work.
+
+
 The decoder's 3-NN interpolation (F-05/F-10) reduces to: for each query
 point, the k nearest support points. The XLA paths (ops/upsample.dense_three_nn)
 either stream support blocks through a lax.scan or materialize the [Nq, Ns]
