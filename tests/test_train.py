@@ -41,6 +41,21 @@ def test_overfit_synthetic(tiny_setup):
     assert bool(jnp.isfinite(m["loss"]))
 
 
+def test_mesh_dp_training_end_to_end(tmp_path):
+    """Full train() loop on the 8-fake-device mesh (F-19 end to end)."""
+    import jax as _jax
+    from gridgcn_tpu.train.train import train
+
+    if len(_jax.devices()) < 8:
+        pytest.skip("needs 8 fake devices")
+    cfg = presets.get("synthetic_tiny")
+    cfg = apply_overrides(cfg, {
+        "train.epochs": 1, "train.ckpt_dir": str(tmp_path / "ck"),
+        "train.eval_every": 1, "data.batch_size": 8})
+    state = train(cfg, mesh_devices=8)
+    assert int(state.step) == 8   # 64 clouds / batch 8
+
+
 def test_checkpoint_roundtrip(tmp_path, tiny_setup):
     cfg, model, ds, state = tiny_setup
     cfg = apply_overrides(cfg, {"train.ckpt_dir": str(tmp_path / "ck")})
