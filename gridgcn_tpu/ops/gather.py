@@ -17,8 +17,9 @@ coverage come from contiguous 3-row-run gathers over the padded tables (the
 gathers themselves cost <1 ms/layer); winner coordinates are fetched AFTER
 selection with one small [winners → xyz] gather. Selecting coordinates from
 packed candidate rows (per-axis take_along_axis) looks cheaper on paper but
-costs ~14 ms/layer in XLA's lowering. The packed coord_table still serves
-center barycenters and the F-05 grid query.
+costs ~14 ms/layer in XLA's lowering. Center barycenters come from the
+per-voxel coordinate sums; the packed coord_table serves only the F-05 grid
+query.
 """
 
 from __future__ import annotations

@@ -49,11 +49,10 @@ def debug_mode():
         jax.config.update("jax_debug_nans", False)
 
 
-def checkify_call(fn: Callable, *args, **kwargs):
-    """Run `fn` with checkify float/index error checks; raises on failure."""
+def checkify_call(fn: Callable, *args):
+    """Run `fn` under jitted checkify float/index checks; raises on failure."""
     checked = checkify.checkify(
         fn, errors=checkify.float_checks | checkify.index_checks)
-    err, out = jax.jit(checked)(*args, **kwargs) if not kwargs else checked(
-        *args, **kwargs)
+    err, out = jax.jit(checked)(*args)
     err.throw()
     return out
