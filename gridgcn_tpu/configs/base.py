@@ -48,6 +48,10 @@ class GridLayerSpec:
     use_coverage: bool = True          # coverage-weighted attention (F-07)
     use_context_pool: bool = True      # grid-context pooling (F-07)
     context_channels: int = 32         # width of the pooled context summary
+    # 'nodes' pools the K selected nodes (cheap, default); 'candidates'
+    # pools ALL stored context points like the paper's Fig. 3 (gathers
+    # [M, context³·nv] candidate features — use on small models)
+    context_pool_source: str = "nodes"
     att_hidden: int = 16               # hidden width of the attention MLP
     att_activation: str = "softmax"    # 'softmax' | 'sigmoid' over K
     pool: str = "max"                  # 'max' | 'maxsum'

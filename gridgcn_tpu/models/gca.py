@@ -44,9 +44,15 @@ class GCA(nn.Module):
 
     @nn.compact
     def __call__(self, node_feat: Optional[jax.Array], delta_p: jax.Array,
-                 mask: jax.Array, coverage: jax.Array, train: bool = False):
+                 mask: jax.Array, coverage: jax.Array, train: bool = False,
+                 ctx_feat: Optional[jax.Array] = None):
         """node_feat [B,M,K,C] or None, delta_p [B,M,K,3], mask [B,M,K],
-        coverage [B,M,K] int → [B, M, mlp[-1]] center features."""
+        coverage [B,M,K] int → [B, M, mlp[-1]] center features.
+
+        ctx_feat [B, M, Cc] (optional): pre-pooled summary over ALL stored
+        context points (the paper's Fig. 3 grid-context pooling source,
+        spec.context_pool_source='candidates'); when absent the summary is
+        pooled over the K selected nodes."""
         spec = self.spec
         delta_p = delta_p.astype(self.dtype)
         dist = jnp.linalg.norm(delta_p + 1e-12, axis=-1, keepdims=True)
@@ -68,10 +74,15 @@ class GCA(nn.Module):
             att_parts.append(jnp.where(mask, cov_norm, 0.0)[..., None])
             att_parts.append(jnp.where(mask, jnp.log1p(cov), 0.0)[..., None])
         if spec.use_context_pool:
-            # Grid-context pooling: masked mean over the group's nodes —
-            # indices already exist, so this costs one reduction (F-07).
-            denom = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1)
-            ctx = jnp.sum(edge_in * mask[..., None], axis=-2) / denom
+            # Grid-context pooling (F-07): summary over context points —
+            # indices already exist, so this costs one reduction. Source is
+            # either ALL stored context points (ctx_feat, paper-faithful) or
+            # the K selected nodes (cheap default).
+            if ctx_feat is not None:
+                ctx = ctx_feat.astype(self.dtype)
+            else:
+                denom = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1)
+                ctx = jnp.sum(edge_in * mask[..., None], axis=-2) / denom
             ctx = nn.Dense(spec.context_channels, dtype=self.dtype,
                            name="ctx_dense")(ctx)
             ctx = nn.relu(ctx)                                    # [B,M,Cctx]

@@ -55,7 +55,17 @@ class GridConv(nn.Module):
         node_feat = None if feat is None else gather_point_features(
             feat, g.neighbor_idx)
 
+        # paper-faithful grid-context pooling source: masked mean over ALL
+        # stored context points (spec.context_pool_source='candidates')
+        ctx_feat = None
+        if g.cand_idx is not None and feat is not None:
+            cand_feat = gather_point_features(feat, g.cand_idx)
+            w = g.cand_valid[..., None].astype(cand_feat.dtype)
+            denom = jnp.maximum(jnp.sum(w, axis=-2), 1.0)
+            ctx_feat = jnp.sum(cand_feat * w, axis=-2) / denom
+
         center_feat = GCA(self.spec, dtype=self.dtype,
                           bn_momentum=self.bn_momentum, name="gca")(
-            node_feat, delta_p, g.neighbor_mask, g.node_coverage, train=train)
+            node_feat, delta_p, g.neighbor_mask, g.node_coverage,
+            train=train, ctx_feat=ctx_feat)
         return g.center_xyz, center_feat, g.center_valid

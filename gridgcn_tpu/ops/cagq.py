@@ -45,8 +45,10 @@ def cagq(xyz: jax.Array, mask: jax.Array, spec: GridLayerSpec,
     else:
         raise ValueError(f"unknown sampler: {spec.sampler}")
 
-    groups = gather_nodes(table, xyz, center_vids, center_valid,
-                          spec.k_neighbors, spec.context, k_gather,
-                          center_mode=spec.center_mode,
-                          approx=spec.approx_select)
+    groups = gather_nodes(
+        table, xyz, center_vids, center_valid,
+        spec.k_neighbors, spec.context, k_gather,
+        center_mode=spec.center_mode, approx=spec.approx_select,
+        return_candidates=(spec.use_context_pool
+                           and spec.context_pool_source == "candidates"))
     return CAGQOutput(table=table, groups=groups)

@@ -56,12 +56,14 @@ class GroupedNodes:
     center_xyz: jax.Array
     center_valid: jax.Array
     center_vids: jax.Array
+    cand_idx: jax.Array | None = None     # [B, M, P*nv] all context points
+    cand_valid: jax.Array | None = None   # (return_candidates=True only)
 
 
 def _gather_one(slots, key_table, coord_sums, occupancy, coverage, xyz,
                 center_vids, center_valid, key, resolution: int, K: int,
                 context: int, center_mode: str, origin, vsize,
-                approx: bool = False):
+                approx: bool = False, return_candidates: bool = False):
     """Single-cloud gather; vmapped over the batch."""
     V = resolution ** 3
     nv = (key_table if slots is None else slots).shape[-1]
@@ -117,6 +119,9 @@ def _gather_one(slots, key_table, coord_sums, occupancy, coverage, xyz,
                                  top_keys & ((1 << idx_bits) - 1), 0)
         node_coverage = jnp.where(
             neighbor_mask, (top_keys >> idx_bits) & ((1 << cov_bits) - 1), 0)
+        flat_keys = cand_keys.reshape(M, P * nv)
+        cand_valid = flat_keys >= (1 << 30)
+        cand_idx = jnp.where(cand_valid, flat_keys & ((1 << idx_bits) - 1), 0)
     else:
         # exact path: coverage rides as an extra column of the slots table
         # so the context walk is one run gather; float scores in (1, 2),
@@ -159,7 +164,10 @@ def _gather_one(slots, key_table, coord_sums, occupancy, coverage, xyz,
     center_xyz = center_positions(
         coord_sums, occupancy, center_vids, center_valid, resolution,
         center_mode, origin, vsize)
-    return neighbor_idx, neighbor_mask, node_xyz, node_coverage, center_xyz
+    out = (neighbor_idx, neighbor_mask, node_xyz, node_coverage, center_xyz)
+    if return_candidates:
+        out = out + (jnp.where(cand_valid, cand_idx, 0), cand_valid)
+    return out
 
 
 def center_positions(coord_sums, occupancy, center_vids, center_valid,
@@ -185,17 +193,24 @@ def center_positions(coord_sums, occupancy, center_vids, center_valid,
 def gather_nodes(table: VoxelTable, xyz: jax.Array, center_vids: jax.Array,
                  center_valid: jax.Array, K: int, context: int,
                  key: jax.Array, center_mode: str = "barycenter",
-                 approx: bool = False) -> GroupedNodes:
-    """Batched F-04 gather; centers from F-02/F-03; xyz = level points."""
+                 approx: bool = False,
+                 return_candidates: bool = False) -> GroupedNodes:
+    """Batched F-04 gather; centers from F-02/F-03; xyz = level points.
+
+    return_candidates=True additionally emits the full [M, P*nv] context
+    point indices/validity (the paper's grid-context pooling input, F-07)."""
     B = table.coverage.shape[0]
     keys = jax.random.split(key, B)
-    nidx, nmask, nxyz, ncov, cxyz = jax.vmap(
+    outs = jax.vmap(
         lambda s, kt, cs, oc, c, x, cv, va, k, o, vs: _gather_one(
             s, kt, cs, oc, c, x, cv, va, k, table.resolution, K, context,
-            center_mode, o, vs, approx))(
+            center_mode, o, vs, approx, return_candidates))(
         table.slots, table.key_table, table.coord_sums, table.occupancy,
         table.coverage, xyz, center_vids, center_valid, keys,
         table.origin, table.vsize)
+    nidx, nmask, nxyz, ncov, cxyz = outs[:5]
+    cand_idx, cand_valid = (outs[5], outs[6]) if return_candidates else (None, None)
     return GroupedNodes(neighbor_idx=nidx, neighbor_mask=nmask,
                         node_xyz=nxyz, node_coverage=ncov, center_xyz=cxyz,
-                        center_valid=center_valid, center_vids=center_vids)
+                        center_valid=center_valid, center_vids=center_vids,
+                        cand_idx=cand_idx, cand_valid=cand_valid)

@@ -56,6 +56,31 @@ def test_forward_deterministic_given_rngs(rng_key):
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
 
 
+def test_candidates_context_pooling(rng_key):
+    """Paper-faithful grid-context pooling over ALL stored context points
+    (spec.context_pool_source='candidates', F-07)."""
+    import dataclasses
+
+    cfg = presets.get("synthetic_tiny")
+    layers = tuple(dataclasses.replace(l, context_pool_source="candidates")
+                   for l in cfg.model.layers)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, layers=layers))
+    model, variables = init_model(cfg)
+    xyz, feat, mask = example_inputs(cfg, batch_size=2)
+    logits = model.apply(variables, xyz, feat, mask, train=False,
+                         rngs=_rngs())
+    assert logits.shape == (2, cfg.model.num_classes)
+    assert bool(jnp.isfinite(logits).all())
+    # candidate indices respect the mask discipline end to end
+    poisoned = xyz.at[:, -30:, :].set(55.5)
+    m2 = mask.at[:, -30:].set(False)
+    l1 = model.apply(variables, xyz, feat, m2, train=False, rngs=_rngs())
+    l2 = model.apply(variables, poisoned, feat, m2, train=False,
+                     rngs=_rngs())
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
 def test_all_presets_construct():
     for name in presets.PRESETS:
         cfg = presets.get(name)
