@@ -1,0 +1,71 @@
+"""Serving API: load a trained checkpoint into a jitted predictor.
+
+The reference's inference entry points are its per-task test scripts
+(SURVEY §3.5); this module is the library equivalent for production use:
+
+    from gridgcn_tpu.api import load_predictor
+    predict = load_predictor("checkpoints")
+    logits = predict(points)            # [N,3] or [B,N,3] numpy/jax array
+
+One compilation per input shape; per-point tasks return [.., N, C] logits,
+classification returns [.., C].
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gridgcn_tpu.models.build import init_model
+from gridgcn_tpu.train.steps import create_train_state
+from gridgcn_tpu.utils.checkpoint import CheckpointManager
+
+
+class Predictor:
+    def __init__(self, ckpt_dir: str, step: Optional[int] = None):
+        self.cfg = CheckpointManager.load_config(ckpt_dir)
+        model, variables = init_model(self.cfg, seed=0)
+        state = create_train_state(self.cfg, model, variables, 1)
+        mgr = CheckpointManager(ckpt_dir, self.cfg,
+                                keep=self.cfg.train.keep_ckpts)
+        restored = mgr.restore(state, step=step)
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+        state = restored["state"]
+        self.step = int(state.step)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        self._model = model
+        self._fwd = jax.jit(
+            lambda x, f, m, k: model.apply(
+                variables, x, f, m, train=False, rngs={"cagq": k}))
+
+    def __call__(self, xyz, feat=None, mask=None,
+                 rng: Optional[jax.Array] = None):
+        """xyz [N,3] or [B,N,3] → logits ([C] / [N,C] per cloud)."""
+        xyz = jnp.asarray(xyz, jnp.float32)
+        squeeze = xyz.ndim == 2
+        if squeeze:
+            xyz = xyz[None]
+            if feat is not None:
+                feat = jnp.asarray(feat)[None]
+            if mask is not None:
+                mask = jnp.asarray(mask)[None]
+        if mask is None:
+            mask = jnp.ones(xyz.shape[:2], bool)
+        if feat is not None:
+            feat = jnp.asarray(feat, jnp.float32)
+        key = rng if rng is not None else jax.random.PRNGKey(0)
+        logits = self._fwd(xyz, feat, mask, key)
+        out = np.asarray(logits)
+        return out[0] if squeeze else out
+
+    def predict_classes(self, xyz, feat=None, mask=None):
+        return np.argmax(self(xyz, feat, mask), axis=-1)
+
+
+def load_predictor(ckpt_dir: str, step: Optional[int] = None) -> Predictor:
+    return Predictor(ckpt_dir, step=step)

@@ -1,0 +1,37 @@
+"""Serving API: checkpoint → predictor roundtrip."""
+
+import numpy as np
+import pytest
+
+from gridgcn_tpu.api import load_predictor
+from gridgcn_tpu.configs import presets
+from gridgcn_tpu.configs.base import apply_overrides
+from gridgcn_tpu.train.train import train
+
+
+@pytest.fixture(scope="module")
+def trained_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ck"))
+    cfg = presets.get("synthetic_tiny")
+    cfg = apply_overrides(cfg, {"train.epochs": 1, "train.ckpt_dir": d,
+                                "train.eval_every": 5})
+    train(cfg)
+    return d
+
+
+def test_predictor_roundtrip(trained_dir):
+    predict = load_predictor(trained_dir)
+    assert predict.step > 0
+    rng = np.random.default_rng(0)
+    cloud = rng.uniform(-1, 1, size=(256, 3)).astype(np.float32)
+
+    logits = predict(cloud)
+    assert logits.shape == (predict.cfg.model.num_classes,)
+    assert np.isfinite(logits).all()
+
+    batch = rng.uniform(-1, 1, size=(3, 256, 3)).astype(np.float32)
+    out = predict(batch)
+    assert out.shape == (3, predict.cfg.model.num_classes)
+    classes = predict.predict_classes(batch)
+    assert classes.shape == (3,)
+    assert (classes >= 0).all() and (classes < 4).all()
