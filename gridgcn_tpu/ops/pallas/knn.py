@@ -44,15 +44,18 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e30
 
 
-def _knn_kernel(q_ref, s_ref, out_d_ref, out_i_ref, d2_ref, *, k: int):
+def _knn_kernel(q_ref, s_ref, out_d_ref, out_i_ref, key_ref, *,
+                k: int, idx_bits: int):
     """One query tile [QT, 128] vs the whole support set [8, Ns_pad].
 
-    The full [QT, Ns] distance tile lives in VMEM scratch and the k winners
-    come from k argmin passes over it — one wide vector op per pass instead
-    of per-block folding (the folding variant had 16× the op count and ran
-    ~20× slower in Mosaic)."""
+    The [QT, Ns] tile of packed keys — positive-f32 distance bits (which are
+    order-preserving as int32) with the support index in the low idx_bits —
+    is written to VMEM scratch ONCE; each winner is one min pass, and
+    previous winners are excluded with a compare in the same pass instead of
+    a scratch write-back. VMEM traffic ≈ (k+1) tile passes (the write-back
+    variant cost ~2× that; a per-block fold variant 16× the op count)."""
     qt = q_ref.shape[0]
-    ns_pad = s_ref.shape[1]
+    low_mask = (1 << idx_bits) - 1
 
     qx = q_ref[:, 0:1]                        # [QT, 1]
     qy = q_ref[:, 1:2]
@@ -64,18 +67,23 @@ def _knn_kernel(q_ref, s_ref, out_d_ref, out_i_ref, d2_ref, *, k: int):
     dx = qx - sx
     dy = qy - sy
     dz = qz - sz
-    d2_ref[:, :] = jnp.where(sm > 0.5, dx * dx + dy * dy + dz * dz, _BIG)
+    d2 = jnp.where(sm > 0.5, dx * dx + dy * dy + dz * dz, _BIG)
+    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    # d2 ≥ 0 ⇒ its f32 bit pattern is monotone as int32; stealing the low
+    # idx_bits mantissa bits (≤ 2^-13 relative) embeds the index payload
+    key_ref[:, :] = ((pltpu.bitcast(d2, jnp.int32)
+                      & jnp.int32(~low_mask)) | col)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (qt, ns_pad), 1)
-
+    winners = []
     for j in range(k):                     # k is tiny — static unroll
-        d2 = d2_ref[:, :]
-        m = jnp.min(d2, axis=-1, keepdims=True)            # [QT, 1]
-        am = jnp.argmin(d2, axis=-1).astype(jnp.int32)     # [QT]
-        out_d_ref[:, j] = m[:, 0]
-        out_i_ref[:, j] = am
-        if j + 1 < k:                      # knock the winner out
-            d2_ref[:, :] = jnp.where(col == am[:, None], _BIG, d2)
+        keys = key_ref[:, :]
+        for w in winners:                  # exclude by compare, no write-back
+            keys = jnp.where(keys == w, jnp.int32(0x7FFFFFFF), keys)
+        m = jnp.min(keys, axis=-1, keepdims=True)           # [QT, 1]
+        winners.append(m)
+        out_i_ref[:, j] = (m & low_mask)[:, 0]
+        out_d_ref[:, j] = pltpu.bitcast(m & jnp.int32(~low_mask),
+                                        jnp.float32)[:, 0]
 
 
 def flash_knn(q_xyz: jax.Array, q_mask: jax.Array, s_xyz: jax.Array,
@@ -99,9 +107,10 @@ def flash_knn(q_xyz: jax.Array, q_mask: jax.Array, s_xyz: jax.Array,
     s = s.at[:3, :Ns].set(s_xyz.astype(jnp.float32).T)
     s = s.at[3, :Ns].set(s_mask.astype(jnp.float32))
 
+    idx_bits = max(1, int(ns_pad - 1).bit_length())
     # top-k outputs padded to lane width
     out_d, out_i = pl.pallas_call(
-        functools.partial(_knn_kernel, k=k),
+        functools.partial(_knn_kernel, k=k, idx_bits=idx_bits),
         grid=(nq_pad // qt,),
         in_specs=[
             pl.BlockSpec((qt, 128), lambda i: (i, 0),
@@ -119,7 +128,7 @@ def flash_knn(q_xyz: jax.Array, q_mask: jax.Array, s_xyz: jax.Array,
             jax.ShapeDtypeStruct((nq_pad, 128), jnp.float32),
             jax.ShapeDtypeStruct((nq_pad, 128), jnp.int32),
         ),
-        scratch_shapes=[pltpu.VMEM((qt, ns_pad), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((qt, ns_pad), jnp.int32)],
         interpret=interpret,
     )(q, s)
 
