@@ -30,8 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from gridgcn_tpu.ops.gridutil import context_neighbors
-from gridgcn_tpu.ops.voxelize import (
-    COORD_SENTINEL, build_voxel_table, voxel_ids)
+from gridgcn_tpu.ops.voxelize import build_voxel_table, voxel_ids
 
 _FOUND_THRESH = 1e19
 _BIG = 1e10       # masked-support distance sentinel (dense kNN paths)

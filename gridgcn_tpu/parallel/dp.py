@@ -11,7 +11,6 @@ shard-local statistics, matching the reference's per-GPU BN behavior.
 from __future__ import annotations
 
 import jax
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from gridgcn_tpu.configs.base import Config
 from gridgcn_tpu.parallel.mesh import batch_sharding, replicated

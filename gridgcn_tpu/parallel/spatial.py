@@ -26,8 +26,6 @@ Two tiers are provided:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -21,7 +21,7 @@ from gridgcn_tpu.configs import presets
 from gridgcn_tpu.configs.base import (
     Config, apply_overrides, parse_cli_overrides, to_json)
 from gridgcn_tpu.data.pipeline import make_dataset
-from gridgcn_tpu.models.build import build_model, init_model
+from gridgcn_tpu.models.build import init_model
 from gridgcn_tpu.parallel.mesh import make_mesh, maybe_init_distributed, shard_batch
 from gridgcn_tpu.parallel.dp import make_parallel_eval_step, make_parallel_train_step
 from gridgcn_tpu.train.metrics import summarize_confusion
