@@ -10,9 +10,10 @@ so increases grid coverage, judged by
     H_add(c) = Σ_{u ∈ π(c)} 1[C_u == 0]   (coverage gained by adding c)
     H_rmv(i) = Σ_{u ∈ π(i)} 1[C_u == 1]   (coverage lost by removing i)
 where C_u counts selected voxels whose context π covers u. The reference runs
-this as a sequential CUDA loop; here it is a bounded `lax.scan` over
-pre-sampled challengers carrying (selected, C) on device (SURVEY §7 H3). The
-§4.2 property test asserts CAS covers ≥ voxels than RVS in expectation.
+this one challenge at a time on CUDA (Gauss-Seidel); here each round issues M
+challenges in parallel against the round's starting coverage (Jacobi-style
+batched greedy, SURVEY §7 H3) — `cas_iters` rounds of fully vectorized work.
+The §4.2 property test asserts CAS covers ≥ voxels than RVS in expectation.
 """
 
 from __future__ import annotations
