@@ -76,6 +76,12 @@ class UpLayerSpec:
     # instead of the exact streamed scan — the big-scene inference setting.
     approx_knn: bool = False
 
+    def __post_init__(self):
+        if self.method not in ("auto", "dense", "grid", "pallas"):
+            raise ValueError(
+                f"UpLayerSpec.method must be one of auto/dense/grid/pallas, "
+                f"got {self.method!r}")
+
 
 @dataclass(frozen=True)
 class ModelConfig:

@@ -153,11 +153,14 @@ def scannet_whole_scene() -> Config:
                       approx_select=True),
     )
     up_layers = (
-        UpLayerSpec(resolution=8, nv=32, mlp=(256, 256), approx_knn=True),
-        UpLayerSpec(resolution=16, nv=16, mlp=(256, 256), approx_knn=True),
-        UpLayerSpec(resolution=32, nv=16, mlp=(256, 128), approx_knn=True),
+        UpLayerSpec(resolution=8, nv=32, mlp=(256, 256), approx_knn=True,
+                    method="pallas"),
+        UpLayerSpec(resolution=16, nv=16, mlp=(256, 256), approx_knn=True,
+                    method="pallas"),
+        UpLayerSpec(resolution=32, nv=16, mlp=(256, 128), approx_knn=True,
+                    method="pallas"),
         UpLayerSpec(resolution=64, nv=16, mlp=(128, 128, 128),
-                    approx_knn=True),
+                    approx_knn=True, method="pallas"),
     )
     return Config(
         name="scannet_whole_scene",

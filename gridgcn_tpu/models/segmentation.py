@@ -63,8 +63,10 @@ class GridGCNSegmentation(nn.Module):
                              and c_xyz.shape[1] <= _DENSE_KNN_MAX_SUPPORT))
             if up.method == "pallas":
                 from gridgcn_tpu.ops.pallas.knn import flash_three_nn
+                # interpret mode off-TPU so CPU tests/dryruns stay runnable
                 nn_idx, weights, _ = flash_three_nn(
-                    d_xyz, d_mask, c_xyz, c_mask, k=up.k_interp)
+                    d_xyz, d_mask, c_xyz, c_mask, k=up.k_interp,
+                    interpret=jax.default_backend() != "tpu")
             elif use_dense:
                 nn_idx, weights, _ = dense_three_nn(
                     d_xyz, d_mask, c_xyz, c_mask, k=up.k_interp,

@@ -36,3 +36,13 @@ def test_configs_hashable_static():
     cfg = presets.get("modelnet40_full")
     hash(cfg)          # frozen dataclasses must be hashable for jit statics
     hash(cfg.model.layers[0])
+
+
+def test_up_layer_method_validated():
+    import pytest
+
+    from gridgcn_tpu.configs.base import UpLayerSpec
+
+    UpLayerSpec(method="pallas")   # valid
+    with pytest.raises(ValueError, match="bogus"):
+        UpLayerSpec(method="bogus")

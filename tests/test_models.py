@@ -86,3 +86,21 @@ def test_all_presets_construct():
         cfg = presets.get(name)
         model = build_model(cfg.model)
         assert model is not None
+
+
+def test_segmentation_forward_pallas_knn(rng_key):
+    """Seg decoder with UpLayerSpec.method='pallas' (MXU flash-kNN,
+    interpret mode off-TPU) produces finite logits of the right shape."""
+    import dataclasses
+
+    cfg = presets.get("synthetic_tiny_seg")
+    ups = tuple(dataclasses.replace(u, method="pallas")
+                for u in cfg.model.up_layers)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, up_layers=ups))
+    model, variables = init_model(cfg)
+    xyz, feat, mask = example_inputs(cfg, batch_size=2)
+    logits = model.apply(variables, xyz, feat, mask, train=False,
+                         rngs=_rngs())
+    assert logits.shape == (2, cfg.data.num_points, cfg.model.num_classes)
+    assert bool(jnp.isfinite(logits).all())

@@ -16,7 +16,8 @@ def test_flash_knn_matches_brute_force(rng_key):
     qm = jnp.ones((B, Nq), bool).at[:, 280:].set(False)
     sm = jnp.ones((B, Ns), bool).at[:, 180:].set(False)
 
-    idx, w, found = flash_three_nn(q, qm, s, sm, k=3, interpret=True)
+    idx, w, found = flash_three_nn(q, qm, s, sm, k=3, interpret=True,
+                                   variant="exact")
     idx, w, found = np.asarray(idx), np.asarray(w), np.asarray(found)
     assert found[:, :280].all() and not found[:, 280:].any()
     for b in range(B):
@@ -32,7 +33,8 @@ def test_flash_knn_matches_xla_dense_path(rng_key):
     qm = jnp.ones((B, Nq), bool)
     sm = jnp.ones((B, Ns), bool)
 
-    i1, w1, f1 = flash_three_nn(q, qm, s, sm, k=3, interpret=True)
+    i1, w1, f1 = flash_three_nn(q, qm, s, sm, k=3, interpret=True,
+                                variant="exact")
     i2, w2, f2 = dense_three_nn(q, qm, s, sm, k=3, block=256)
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
     np.testing.assert_array_equal(np.sort(np.asarray(i1), -1),
@@ -42,3 +44,45 @@ def test_flash_knn_matches_xla_dense_path(rng_key):
     np.testing.assert_allclose(np.sort(np.asarray(w1), -1),
                                np.sort(np.asarray(w2), -1),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_flash_knn_mxu_near_exact(rng_key):
+    """MXU lane-fold variant: top-1 exact (mod near-ties), recall ≥ 0.97,
+    d² within split-bf16 error of the exact kernel on matching neighbors."""
+    from gridgcn_tpu.ops.pallas.knn import flash_knn, flash_knn_mxu
+
+    Nq, Ns = 1024, 700
+    q = jax.random.uniform(rng_key, (Nq, 3), minval=-4.0, maxval=9.0)
+    s = jax.random.uniform(jax.random.PRNGKey(4), (Ns, 3),
+                           minval=-4.0, maxval=9.0)
+    qm = jnp.ones((Nq,), bool)
+    sm = jnp.ones((Ns,), bool).at[Ns - 7:].set(False)
+
+    d2e, ie, ve = flash_knn(q, qm, s, sm, k=3, interpret=True)
+    d2m, im, vm = flash_knn_mxu(q, qm, s, sm, k=3, interpret=True)
+    d2e, ie = np.asarray(d2e), np.asarray(ie)
+    d2m, im = np.asarray(d2m), np.asarray(im)
+
+    np.testing.assert_array_equal(np.asarray(ve), np.asarray(vm))
+    recall = np.mean([len(set(ie[i]) & set(im[i])) / 3 for i in range(Nq)])
+    assert recall >= 0.97, recall
+    assert (ie[:, 0] == im[:, 0]).mean() >= 0.99   # near-ties may swap
+    match = ie == im
+    # scene coords span ~13 → split-bf16 absolute d² error ~2⁻¹⁶·|q||s|
+    assert np.abs(d2m - d2e)[match].max() < 2e-2
+
+
+def test_flash_knn_mxu_masked_supports_never_win(rng_key):
+    from gridgcn_tpu.ops.pallas.knn import flash_knn_mxu
+
+    Nq, Ns = 256, 300
+    q = jax.random.uniform(rng_key, (Nq, 3))
+    s = jax.random.uniform(jax.random.PRNGKey(5), (Ns, 3))
+    # only 2 valid supports, both co-located at the origin area
+    sm = jnp.zeros((Ns,), bool).at[:2].set(True)
+    qm = jnp.ones((Nq,), bool)
+
+    d2, idx, valid = flash_knn_mxu(q, qm, s, sm, k=3, interpret=True)
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    assert valid[:, :2].all() and not valid[:, 2:].any()
+    assert (idx[valid] < 2).all()
