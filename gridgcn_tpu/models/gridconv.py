@@ -33,7 +33,7 @@ class GridConv(nn.Module):
 
     @nn.compact
     def __call__(self, xyz: jax.Array, feat: Optional[jax.Array],
-                 mask: jax.Array, train: bool = False
+                 mask: jax.Array, train: bool = False, bounds=None
                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """One downsampling stage.
 
@@ -41,11 +41,13 @@ class GridConv(nn.Module):
           xyz:  [B, N, 3] level point positions.
           feat: [B, N, C] level point features, or None at the input level.
           mask: [B, N] validity.
+          bounds: optional explicit (origin [B,3], vsize [B,3]) grid bounds
+            (spatial sharding aligns every shard on the global grid, F-22).
         Returns:
           (center_xyz [B, M, 3], center_feat [B, M, Co], center_valid [B, M])
         """
         key = self.make_rng("cagq")
-        out = cagq(xyz, mask, self.spec, key)
+        out = cagq(xyz, mask, self.spec, key, bounds=bounds)
         g = out.groups
 
         # node coordinates come from the packed coord table inside CAGQ

@@ -9,6 +9,13 @@ PointNet++-style encoder–decoder built from GridConv stages:
 Whole-scene inference (BASELINE config 5, the headline throughput benchmark)
 is this same module applied at 80K+ points with batch sharded across chips
 (gridgcn_tpu.parallel).
+
+The module is setup-based (not @nn.compact) so its pieces — `encode_layer`,
+`decode_stage`, `head_logits` — can be driven individually via
+`model.apply(..., method=...)`. The fully-resident spatially-sharded forward
+(gridgcn_tpu.parallel.resident, F-22) composes them per shard under
+shard_map; parameter names are identical to the monolithic network, so the
+same checkpoints serve both paths.
 """
 
 from __future__ import annotations
@@ -31,75 +38,109 @@ _DENSE_KNN_MAX_SUPPORT = 16384
 class GridGCNSegmentation(nn.Module):
     cfg: ModelConfig
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        if len(cfg.up_layers) != len(cfg.layers):
+            raise ValueError("seg model needs one up_layer per encoder layer")
+        dtype = jnp.dtype(cfg.dtype)
+        conv_cls = nn.remat(GridConv, static_argnums=(4,)) if cfg.remat \
+            else GridConv
+        self._convs = [
+            conv_cls(spec, dtype=dtype, bn_momentum=cfg.bn_momentum,
+                     name=f"gridconv{i}")
+            for i, spec in enumerate(cfg.layers)]
+        self._up_dense = [
+            [nn.Dense(w, dtype=dtype, name=f"up{i}_dense{li}")
+             for li, w in enumerate(up.mlp)]
+            for i, up in enumerate(cfg.up_layers)]
+        self._up_bn = [
+            [nn.BatchNorm(momentum=cfg.bn_momentum, dtype=dtype,
+                          name=f"up{i}_bn{li}")
+             for li in range(len(up.mlp))]
+            for i, up in enumerate(cfg.up_layers)]
+        self._head_dense = [
+            nn.Dense(w, dtype=dtype, name=f"head_dense{hi}")
+            for hi, w in enumerate(cfg.head)]
+        self._head_bn = [
+            nn.BatchNorm(momentum=cfg.bn_momentum, dtype=dtype,
+                         name=f"head_bn{hi}")
+            for hi in range(len(cfg.head))]
+        self._dropout = nn.Dropout(cfg.dropout)
+        self._logits = nn.Dense(cfg.num_classes, dtype=jnp.float32,
+                                name="logits")
+
+    # ---- pieces (individually drivable via apply(method=...)) ----
+
+    def encode_layer(self, i: int, xyz, feat, mask, train: bool = False,
+                     bounds=None):
+        """GridConv stage i: one CAGQ + GCA downsampling step."""
+        return self._convs[i](xyz, feat, mask, train, bounds)
+
+    def decode_stage(self, i: int, c_xyz, c_feat, c_mask,
+                     d_xyz, d_feat, d_mask, train: bool = False):
+        """Feature-propagation stage i: 3-NN interp from the coarse level
+        (c_*) to the dense level (d_*), skip-concat, shared MLP."""
+        cfg = self.cfg
+        up = cfg.up_layers[i]
+        dtype = jnp.dtype(cfg.dtype)
+        use_dense = (up.method == "dense"
+                     or (up.method == "auto"
+                         and c_xyz.shape[1] <= _DENSE_KNN_MAX_SUPPORT))
+        if up.method == "pallas":
+            from gridgcn_tpu.ops.pallas.knn import flash_three_nn
+            # interpret mode off-TPU so CPU tests/dryruns stay runnable
+            nn_idx, weights, _ = flash_three_nn(
+                d_xyz, d_mask, c_xyz, c_mask, k=up.k_interp,
+                interpret=jax.default_backend() != "tpu")
+        elif use_dense:
+            nn_idx, weights, _ = dense_three_nn(
+                d_xyz, d_mask, c_xyz, c_mask, k=up.k_interp,
+                approx=up.approx_knn)
+        else:
+            key = self.make_rng("cagq")
+            nn_idx, weights, _ = grid_three_nn(
+                d_xyz, d_mask, c_xyz, c_mask, up.resolution, up.nv, key,
+                k=up.k_interp, context=up.context)
+        interp = three_nn_interpolate(
+            c_feat.astype(dtype), nn_idx, weights.astype(dtype))
+
+        skip = d_feat if d_feat is not None else d_xyz
+        x = jnp.concatenate([interp, skip.astype(dtype)], axis=-1)
+        for dense, bn in zip(self._up_dense[i], self._up_bn[i]):
+            x = dense(x)
+            x = bn(x, use_running_average=not train)
+            x = nn.relu(x)
+        return jnp.where(d_mask[..., None], x, 0.0)
+
+    def head_logits(self, x, train: bool = False):
+        """Per-point classification head."""
+        for dense, bn in zip(self._head_dense, self._head_bn):
+            x = dense(x)
+            x = bn(x, use_running_average=not train)
+            x = nn.relu(x)
+            if self.cfg.dropout > 0:
+                x = self._dropout(x, deterministic=not train)
+        return self._logits(x)
+
+    # ---- full network ----
+
     def __call__(self, xyz: jax.Array, feat: Optional[jax.Array],
                  mask: jax.Array, train: bool = False) -> jax.Array:
         cfg = self.cfg
-        dtype = jnp.dtype(cfg.dtype)
-        if len(cfg.up_layers) != len(cfg.layers):
-            raise ValueError("seg model needs one up_layer per encoder layer")
-
         if cfg.use_xyz_feature:
             # absolute position as an input feature (PointNet++ convention)
             feat = xyz if feat is None else jnp.concatenate([xyz, feat], -1)
 
-        # ---- encoder ----
-        conv_cls = nn.remat(GridConv, static_argnums=(4,)) if cfg.remat \
-            else GridConv
         levels = [(xyz, feat, mask)]
-        for i, spec in enumerate(cfg.layers):
-            xyz, feat, mask = conv_cls(spec, dtype=dtype,
-                                       bn_momentum=cfg.bn_momentum,
-                                       name=f"gridconv{i}")(
-                xyz, feat, mask, train)
+        for i in range(len(cfg.layers)):
+            xyz, feat, mask = self.encode_layer(i, xyz, feat, mask, train)
             levels.append((xyz, feat, mask))
 
-        # ---- decoder: feature propagation coarse → dense ----
         c_xyz, c_feat, c_mask = levels[-1]
-        for i, up in enumerate(cfg.up_layers):
+        for i in range(len(cfg.up_layers)):
             d_xyz, d_feat, d_mask = levels[-2 - i]
-            use_dense = (up.method == "dense"
-                         or (up.method == "auto"
-                             and c_xyz.shape[1] <= _DENSE_KNN_MAX_SUPPORT))
-            if up.method == "pallas":
-                from gridgcn_tpu.ops.pallas.knn import flash_three_nn
-                # interpret mode off-TPU so CPU tests/dryruns stay runnable
-                nn_idx, weights, _ = flash_three_nn(
-                    d_xyz, d_mask, c_xyz, c_mask, k=up.k_interp,
-                    interpret=jax.default_backend() != "tpu")
-            elif use_dense:
-                nn_idx, weights, _ = dense_three_nn(
-                    d_xyz, d_mask, c_xyz, c_mask, k=up.k_interp,
-                    approx=up.approx_knn)
-            else:
-                key = self.make_rng("cagq")
-                nn_idx, weights, _ = grid_three_nn(
-                    d_xyz, d_mask, c_xyz, c_mask, up.resolution, up.nv, key,
-                    k=up.k_interp, context=up.context)
-            interp = three_nn_interpolate(
-                c_feat.astype(dtype), nn_idx, weights.astype(dtype))
+            c_feat = self.decode_stage(i, c_xyz, c_feat, c_mask,
+                                       d_xyz, d_feat, d_mask, train)
+            c_xyz, c_mask = d_xyz, d_mask
 
-            skip = d_feat if d_feat is not None else d_xyz
-            x = jnp.concatenate([interp, skip.astype(dtype)], axis=-1)
-            for li, w in enumerate(up.mlp):
-                x = nn.Dense(w, dtype=dtype, name=f"up{i}_dense{li}")(x)
-                x = nn.BatchNorm(use_running_average=not train,
-                                 momentum=cfg.bn_momentum, dtype=dtype,
-                                 name=f"up{i}_bn{li}")(x)
-                x = nn.relu(x)
-            x = jnp.where(d_mask[..., None], x, 0.0)
-            c_xyz, c_feat, c_mask = d_xyz, x, d_mask
-
-        # ---- per-point head ----
-        x = c_feat
-        for hi, w in enumerate(cfg.head):
-            x = nn.Dense(w, dtype=dtype, name=f"head_dense{hi}")(x)
-            x = nn.BatchNorm(use_running_average=not train,
-                             momentum=cfg.bn_momentum, dtype=dtype,
-                             name=f"head_bn{hi}")(x)
-            x = nn.relu(x)
-            if cfg.dropout > 0:
-                x = nn.Dropout(cfg.dropout, deterministic=not train)(x)
-        logits = nn.Dense(cfg.num_classes, dtype=jnp.float32,
-                          name="logits")(x)
-        return logits
+        return self.head_logits(c_feat, train)

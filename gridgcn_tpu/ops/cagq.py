@@ -25,15 +25,18 @@ class CAGQOutput:
 
 
 def cagq(xyz: jax.Array, mask: jax.Array, spec: GridLayerSpec,
-         key: jax.Array) -> CAGQOutput:
+         key: jax.Array, bounds=None) -> CAGQOutput:
     """Run one layer's CAGQ: xyz [B, N, 3], mask [B, N] → centers + groups.
 
     Index tensors are bitwise-deterministic for a fixed key (SURVEY §7 H6).
+    `bounds` optionally fixes the grid to explicit (origin, vsize) — see
+    build_voxel_table; used by spatial sharding (F-22).
     """
     k_build, k_sample, k_gather = jax.random.split(key, 3)
     table = build_voxel_table(xyz, mask, spec.resolution, spec.nv, k_build,
                               with_keys=spec.approx_select,
-                              with_slots=not spec.approx_select)
+                              with_slots=not spec.approx_select,
+                              bounds=bounds)
 
     if spec.sampler == "rvs":
         center_vids, center_valid = sample_centers_rvs(

@@ -209,7 +209,15 @@ def grid_three_nn(query_xyz: jax.Array, query_mask: jax.Array,
 
 def three_nn_interpolate(support_feat: jax.Array, nn_idx: jax.Array,
                          weights: jax.Array) -> jax.Array:
-    """Inverse-distance feature interpolation: [B,Ns,C] → [B,Nq,C]."""
+    """Inverse-distance feature interpolation: [B,Ns,C] → [B,Nq,C].
+
+    Unrolled over k as fused gather-scale-adds: the einsum formulation
+    materializes the [Nq, k, C] gathered tensor in HBM (~2.4 ms/scene at
+    whole-scene sizes); k separate [Nq, C] row-gathers fuse with their
+    multiply-accumulate and never build it."""
     def one(feat, idx, w):
-        return jnp.einsum("qk,qkc->qc", w, feat[idx])
+        out = w[:, 0:1] * feat[idx[:, 0]]
+        for j in range(1, idx.shape[1]):
+            out = out + w[:, j:j + 1] * feat[idx[:, j]]
+        return out
     return jax.vmap(one)(support_feat, nn_idx, weights)

@@ -109,21 +109,27 @@ def grid_bounds(xyz: jax.Array, mask: jax.Array, resolution: int):
 
 def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
                resolution: int, nv: int, with_coords: bool, with_keys: bool,
-               with_slots: bool):
+               with_slots: bool, origin=None, vsize=None):
     """Single-cloud table build; vmapped over the batch."""
     N = xyz.shape[0]
     V = resolution ** 3
 
-    origin, vsize = grid_bounds(xyz, mask, resolution)
+    if origin is None:
+        origin, vsize = grid_bounds(xyz, mask, resolution)
     vid = voxel_ids(xyz, mask, origin, vsize, resolution)  # [N], V sentinel
 
-    # One two-key sort: primary = voxel id, secondary = random bits, so the
-    # first nv slots of each voxel are a uniform random subset — the
-    # reference's shuffle-then-retain semantics (SURVEY §2.1 F-01) with a
-    # single sort instead of permutation + stable sort.
+    # ONE single-key sort: the uint32 key packs [voxel id | random bits], so
+    # the first nv slots of each voxel are a uniform random subset — the
+    # reference's shuffle-then-retain semantics (SURVEY §2.1 F-01) without a
+    # permutation, a stable sort, or a second sort key. The sentinel id V
+    # packs to the largest keys, so invalid points sort last.
+    vid_bits = int(V).bit_length()          # V inclusive (sentinel)
+    srand_bits = 32 - vid_bits              # ≥ 12 at any practical resolution
+    skey = ((vid.astype(jnp.uint32) << srand_bits)
+            | (rand >> vid_bits))
     pidx = jnp.arange(N, dtype=jnp.int32)
-    sorted_vid, sorted_rand, sorted_pidx = jax.lax.sort(
-        (vid, rand, pidx), num_keys=2)
+    sorted_skey, sorted_pidx = jax.lax.sort((skey, pidx), num_keys=1)
+    sorted_vid = (sorted_skey >> srand_bits).astype(jnp.int32)
 
     idx = jnp.arange(N, dtype=jnp.int32)
     is_start = jnp.concatenate(
@@ -153,7 +159,10 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
         next_start = jnp.flip(jax.lax.cummin(jnp.flip(nxt_src)))
         seg_len = next_start - seg_start
         cov_q = jnp.minimum(seg_len, (1 << cov_bits) - 1)
-        rbits = (sorted_rand >> (32 - rand_bits)).astype(jnp.int32)
+        # random selection-key bits: reuse the top of the packed sort key's
+        # random field (srand_bits ≥ rand_bits holds at practical N/V)
+        rbits = ((sorted_skey >> max(srand_bits - rand_bits, 0))
+                 & ((1 << rand_bits) - 1)).astype(jnp.int32)
         keys = ((keep.astype(jnp.int32) << 30)
                 | (rbits << (idx_bits + cov_bits))
                 | (cov_q << idx_bits) | sorted_pidx)
@@ -187,8 +196,8 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
 
 def build_voxel_table(xyz: jax.Array, mask: jax.Array, resolution: int,
                       nv: int, key: jax.Array, with_coords: bool = False,
-                      with_keys: bool = False,
-                      with_slots: bool = True) -> VoxelTable:
+                      with_keys: bool = False, with_slots: bool = True,
+                      bounds=None) -> VoxelTable:
     """Build fixed-capacity voxel tables for a batch of point clouds.
 
     Args:
@@ -203,12 +212,22 @@ def build_voxel_table(xyz: jax.Array, mask: jax.Array, resolution: int,
         the F-04 approx path).
       with_slots: build the index slot table (the F-04 approx path reads
         indices out of key_table instead, saving the scatter).
+      bounds: optional (origin [B, 3], vsize [B, 3]) fixing the grid
+        explicitly instead of deriving it from the cloud's bounding box —
+        required by spatial sharding (F-22), where every shard's voxel
+        planes must align on the GLOBAL grid.
     """
     B, N = xyz.shape[:2]
     rand = jax.random.bits(key, (B, N))   # random per-voxel retention order
-    slots, ktab, ctab, csum, occ, cov, vid, origin, vsize = jax.vmap(
-        lambda x, m, r: _build_one(x, m, r, resolution, nv, with_coords,
-                                   with_keys, with_slots))(xyz, mask, rand)
+    if bounds is not None:
+        slots, ktab, ctab, csum, occ, cov, vid, origin, vsize = jax.vmap(
+            lambda x, m, r, o, vs: _build_one(
+                x, m, r, resolution, nv, with_coords, with_keys, with_slots,
+                origin=o, vsize=vs))(xyz, mask, rand, bounds[0], bounds[1])
+    else:
+        slots, ktab, ctab, csum, occ, cov, vid, origin, vsize = jax.vmap(
+            lambda x, m, r: _build_one(x, m, r, resolution, nv, with_coords,
+                                       with_keys, with_slots))(xyz, mask, rand)
     return VoxelTable(slots=slots, key_table=ktab, coord_table=ctab,
                       coord_sums=csum, occupancy=occ, coverage=cov,
                       point_vid=vid, origin=origin, vsize=vsize,

@@ -47,7 +47,8 @@ def partition_scene(xyz: np.ndarray, mask: np.ndarray, n_shards: int,
       capacity: static per-shard point capacity (pad/assert).
     Returns:
       shard_xyz [D, cap, 3], shard_mask [D, cap], owned [D, cap] (bool),
-      scatter_idx [D, cap] (original point index, 0 where padded).
+      scatter_idx [D, cap] (original point index, 0 where padded),
+      edges [D+1] (slab boundaries along `axis`; ±inf at the ends).
     """
     pts = xyz[mask]
     orig = np.nonzero(mask)[0].astype(np.int32)
@@ -73,7 +74,7 @@ def partition_scene(xyz: np.ndarray, mask: np.ndarray, n_shards: int,
         shard_mask[d, :n] = True
         owned[d, :n] = own_sel[sel]
         scatter_idx[d, :n] = orig[sel]
-    return shard_xyz, shard_mask, owned, scatter_idx
+    return shard_xyz, shard_mask, owned, scatter_idx, edges
 
 
 def sharded_scene_apply(apply_fn, xyz: np.ndarray, mask: np.ndarray,
@@ -87,7 +88,7 @@ def sharded_scene_apply(apply_fn, xyz: np.ndarray, mask: np.ndarray,
     owned predictions back to [N, C] in original point order.
     """
     D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-    sx, sm, owned, sidx = partition_scene(xyz, mask, D, halo, capacity)
+    sx, sm, owned, sidx, _ = partition_scene(xyz, mask, D, halo, capacity)
     sh = NamedSharding(mesh, P(DATA_AXIS))
     logits = np.asarray(jax.device_get(
         apply_fn(jax.device_put(sx, sh), jax.device_put(sm, sh))))

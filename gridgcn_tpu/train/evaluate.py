@@ -74,7 +74,7 @@ def evaluate(ckpt_dir: str, latency: bool = False, log_path=None):
 
 
 def evaluate_whole_scenes(ckpt_dir: str, votes: int = 3, mesh_devices: int = 0,
-                          log_path=None):
+                          resident: bool = False, log_path=None):
     """Whole-scene segmentation eval (SURVEY §3.4): every scene is fed at
     full size (optionally spatially sharded across the mesh) `votes` times
     with different CAGQ keys; per-point logits are averaged (the reference's
@@ -109,6 +109,14 @@ def evaluate_whole_scenes(ckpt_dir: str, votes: int = 3, mesh_devices: int = 0,
         variables, x, None, m, train=False, rngs={"cagq": k}))
     fwd_sharded = jax.jit(lambda x, m, k: model.apply(
         variables, x, None, m, train=False, rngs={"cagq": k}))
+    fwd_resident = None
+    if resident and mesh is None:
+        raise ValueError("--resident requires --mesh N (a device mesh to "
+                         "shard the dense level over)")
+    if resident:
+        from gridgcn_tpu.parallel.resident import (
+            make_resident_forward, resident_seg_predict)
+        fwd_resident = make_resident_forward(cfg, mesh)
 
     for s in range(val_ds.size):
         xyz = val_ds.points[s]
@@ -117,7 +125,11 @@ def evaluate_whole_scenes(ckpt_dir: str, votes: int = 3, mesh_devices: int = 0,
         acc_logits = None
         for v in range(votes):
             key = jax.random.PRNGKey(1000 * s + v)
-            if mesh is not None:
+            if fwd_resident is not None:
+                logits = resident_seg_predict(
+                    cfg, variables, xyz, mask, mesh,
+                    capacity=xyz.shape[0], rng=key, fwd=fwd_resident)
+            elif mesh is not None:
                 logits = sharded_scene_apply(
                     lambda x, m: fwd_sharded(x, m, key), xyz, mask, mesh,
                     halo=float(np.ptp(xyz[:, 0])) / 8,
@@ -139,6 +151,11 @@ def evaluate_whole_scenes(ckpt_dir: str, votes: int = 3, mesh_devices: int = 0,
 
 
 def main(argv=None):
+    # some PJRT plugins (e.g. tunneled TPU backends) ignore the JAX_PLATFORMS
+    # env var — honor it explicitly so CPU-mesh runs work from the CLI
+    import os
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     p = argparse.ArgumentParser(description="gridgcn_tpu evaluator")
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--latency", action="store_true")
@@ -147,11 +164,16 @@ def main(argv=None):
     p.add_argument("--votes", type=int, default=3)
     p.add_argument("--mesh", type=int, default=0,
                    help="spatially shard each scene over N devices")
+    p.add_argument("--resident", action="store_true",
+                   help="with --mesh: fully-resident sharding (dense level "
+                        "sharded, coarse pyramid replicated after one "
+                        "all_gather) instead of per-slab re-runs")
     p.add_argument("--log", default=None)
     args = p.parse_args(argv)
     if args.whole_scene:
         evaluate_whole_scenes(args.ckpt_dir, votes=args.votes,
-                              mesh_devices=args.mesh, log_path=args.log)
+                              mesh_devices=args.mesh,
+                              resident=args.resident, log_path=args.log)
     else:
         evaluate(args.ckpt_dir, latency=args.latency, log_path=args.log)
 

@@ -122,6 +122,11 @@ def train(cfg: Config, mesh_devices: int = 0, log_path: str | None = None):
 
 
 def main(argv=None):
+    # some PJRT plugins (e.g. tunneled TPU backends) ignore the JAX_PLATFORMS
+    # env var — honor it explicitly so CPU-mesh runs work from the CLI
+    import os
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     p = argparse.ArgumentParser(description="gridgcn_tpu trainer")
     p.add_argument("--preset", default="modelnet40_full",
                    choices=sorted(presets.PRESETS))

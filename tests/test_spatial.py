@@ -21,8 +21,9 @@ def test_partition_covers_each_point_once():
     xyz = rng.uniform(0, 8, size=(N, 3)).astype(np.float32)
     mask = np.ones(N, bool)
     mask[1500:] = False
-    sx, sm, owned, sidx = partition_scene(xyz, mask, n_shards=4, halo=0.5,
-                                          capacity=1200)
+    sx, sm, owned, sidx, edges = partition_scene(xyz, mask, n_shards=4,
+                                                 halo=0.5, capacity=1200)
+    assert edges.shape == (5,) and edges[0] == -np.inf
     # every valid point owned exactly once
     owned_idx = sidx[owned]
     assert sorted(owned_idx.tolist()) == sorted(np.nonzero(mask)[0].tolist())
@@ -92,3 +93,80 @@ def test_sharded_scene_inference_runs():
     assert np.isfinite(logits).all()
     # no point left with an all-zero row (every owned point got a prediction)
     assert (np.abs(logits).sum(axis=1) > 0).all()
+
+
+def test_resident_forward_covers_and_is_finite():
+    """F-22 tier 2: fully-resident sharded forward — every valid point gets
+    a finite prediction, stitched in original order."""
+    import jax
+    import jax.numpy as jnp
+
+    from gridgcn_tpu.configs import presets
+    from gridgcn_tpu.models.build import init_model
+    from gridgcn_tpu.parallel.mesh import make_mesh
+    from gridgcn_tpu.parallel.resident import resident_seg_predict
+
+    cfg = presets.get("synthetic_tiny_seg")   # layers[0] 64 centers % 4 == 0
+    _, variables = init_model(cfg)
+    mesh = make_mesh(4)
+
+    rng = np.random.default_rng(3)
+    N = 512
+    xyz = rng.uniform(0, 8, size=(N, 3)).astype(np.float32)
+    mask = np.ones(N, bool)
+    mask[480:] = False
+
+    logits = resident_seg_predict(cfg, variables, xyz, mask, mesh,
+                                  capacity=N, rng=jax.random.PRNGKey(7))
+    assert logits.shape == (N, cfg.model.num_classes)
+    assert np.isfinite(logits).all()
+    # every owned valid point got a real prediction (logits not all-zero);
+    # invalid points stay zero
+    assert (np.abs(logits[:480]).sum(-1) > 0).mean() > 0.99
+    assert np.abs(logits[480:]).sum() == 0.0
+
+
+def test_resident_forward_trainable():
+    """Gradients flow through the all_gather and sharded stages."""
+    import jax
+    import jax.numpy as jnp
+
+    from gridgcn_tpu.configs import presets
+    from gridgcn_tpu.models.build import init_model
+    from gridgcn_tpu.ops.voxelize import grid_bounds
+    from gridgcn_tpu.parallel.mesh import make_mesh
+    from gridgcn_tpu.parallel.resident import (
+        make_resident_forward, resident_halo)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = presets.get("synthetic_tiny_seg")
+    _, variables = init_model(cfg)
+    mesh = make_mesh(4)
+    fwd = make_resident_forward(cfg, mesh)
+
+    rng = np.random.default_rng(4)
+    N = 256
+    xyz = rng.uniform(0, 8, size=(N, 3)).astype(np.float32)
+    mask = np.ones(N, bool)
+    origin, vsize = grid_bounds(jnp.asarray(xyz)[None],
+                                jnp.asarray(mask)[None],
+                                cfg.model.layers[0].resolution)
+    from gridgcn_tpu.parallel.spatial import partition_scene
+    sx, sm, owned, _, edges = partition_scene(
+        xyz, mask, 4, resident_halo(cfg, np.asarray(vsize)[0]), capacity=N)
+
+    sh = NamedSharding(mesh, P("data"))
+    sxd, smd = jax.device_put(sx, sh), jax.device_put(sm, sh)
+    key = jax.random.PRNGKey(0)
+
+    def loss(params):
+        v = {**variables, "params": params}
+        logits = fwd(v, sxd, smd, jnp.asarray(edges),
+                     jnp.asarray(origin)[0], jnp.asarray(vsize)[0], key)
+        return jnp.sum(jnp.where(jnp.asarray(owned)[..., None],
+                                 logits.astype(jnp.float32) ** 2, 0.0))
+
+    grads = jax.grad(loss)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.isfinite(g).all()) for g in leaves)
+    assert any(float(jnp.abs(g).sum()) > 0 for g in leaves)
