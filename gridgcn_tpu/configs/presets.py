@@ -88,10 +88,11 @@ def s3dis_seg() -> Config:
                       sampler="rvs", mlp=(512, 512), context_channels=128),
     )
     up_layers = (
-        UpLayerSpec(resolution=4, nv=32, mlp=(256, 256)),
-        UpLayerSpec(resolution=8, nv=16, mlp=(256, 256)),
-        UpLayerSpec(resolution=16, nv=8, mlp=(256, 128)),
-        UpLayerSpec(resolution=32, nv=8, mlp=(128, 128, 128)),
+        UpLayerSpec(resolution=4, nv=32, mlp=(256, 256), method="pallas"),
+        UpLayerSpec(resolution=8, nv=16, mlp=(256, 256), method="pallas"),
+        UpLayerSpec(resolution=16, nv=8, mlp=(256, 128), method="pallas"),
+        UpLayerSpec(resolution=32, nv=8, mlp=(128, 128, 128),
+                    method="pallas"),
     )
     return Config(
         name="s3dis_seg",
@@ -117,10 +118,14 @@ def scannet_seg() -> Config:
                       sampler="rvs", mlp=(512, 512), context_channels=128),
     )
     up_layers = (
-        UpLayerSpec(resolution=5, nv=32, mlp=(256, 256)),
-        UpLayerSpec(resolution=10, nv=16, mlp=(256, 256)),
-        UpLayerSpec(resolution=20, nv=8, mlp=(256, 128)),
-        UpLayerSpec(resolution=40, nv=8, mlp=(128, 128, 128)),
+        # 'pallas' = fused flash-kNN (exact-scan-grade recall at a fraction
+        # of the cost; indices/distances stop-gradient like the reference's
+        # zero-backward gridify_up)
+        UpLayerSpec(resolution=5, nv=32, mlp=(256, 256), method="pallas"),
+        UpLayerSpec(resolution=10, nv=16, mlp=(256, 256), method="pallas"),
+        UpLayerSpec(resolution=20, nv=8, mlp=(256, 128), method="pallas"),
+        UpLayerSpec(resolution=40, nv=8, mlp=(128, 128, 128),
+                    method="pallas"),
     )
     return Config(
         name="scannet_seg",

@@ -33,9 +33,20 @@ def cagq(xyz: jax.Array, mask: jax.Array, spec: GridLayerSpec,
     build_voxel_table; used by spatial sharding (F-22).
     """
     k_build, k_sample, k_gather = jax.random.split(key, 3)
+    need_candidates = (spec.use_context_pool
+                       and spec.context_pool_source == "candidates")
+    # Packed-key node selection (top_k returns its payload: selection keys
+    # carry [valid | random | coverage | point index]) beats the slot-table
+    # path by a large margin (its take_along_axis selection costs ~17 ms per
+    # scannet_seg train step in XLA's lowering) and is the more
+    # reference-faithful semantics (per-point retention randomness). The
+    # slot-table path remains for 'candidates' context pooling, which needs
+    # the raw [M, P·nv] candidate indices, and as the selection oracle in
+    # tests. Note: packed keys clamp the coverage weight at 63 (6 bits).
+    use_packed = not need_candidates
     table = build_voxel_table(xyz, mask, spec.resolution, spec.nv, k_build,
-                              with_keys=spec.approx_select,
-                              with_slots=not spec.approx_select,
+                              with_keys=use_packed,
+                              with_slots=not use_packed,
                               bounds=bounds)
 
     if spec.sampler == "rvs":
@@ -51,7 +62,6 @@ def cagq(xyz: jax.Array, mask: jax.Array, spec: GridLayerSpec,
     groups = gather_nodes(
         table, xyz, center_vids, center_valid,
         spec.k_neighbors, spec.context, k_gather,
-        center_mode=spec.center_mode, approx=spec.approx_select,
-        return_candidates=(spec.use_context_pool
-                           and spec.context_pool_source == "candidates"))
+        center_mode=spec.center_mode, approx=use_packed,
+        return_candidates=need_candidates)
     return CAGQOutput(table=table, groups=groups)

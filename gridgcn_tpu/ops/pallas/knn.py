@@ -287,6 +287,11 @@ def flash_three_nn(query_xyz: jax.Array, query_mask: jax.Array,
 
     def one(qx, qm, sx, sm):
         d2, idx, valid = knn_fn(qx, qm, sx, sm, k=k, interpret=interpret)
+        # index/distance outputs are non-differentiable, exactly like the
+        # reference's gridify_up zero backward (SURVEY F-06); positions are
+        # data, so no gradient is lost — this makes the op trainable-through
+        d2 = jax.lax.stop_gradient(d2)
+        idx = jax.lax.stop_gradient(idx)
         d2 = jnp.maximum(d2, 0.0)
         w = jnp.where(valid, 1.0 / (d2 + 1e-8), 0.0)
         w_sum = jnp.sum(w, axis=-1, keepdims=True)

@@ -246,3 +246,14 @@ def capacity_stats(table: VoxelTable) -> dict:
         "dropped_frac": dropped / jnp.maximum(total, 1),
         "occupied_voxels": jnp.sum(table.coverage > 0, axis=-1),
     }
+
+
+def slots_from_keys(key_table: jax.Array, n_points: int) -> jax.Array:
+    """Recover the slot index table from a packed key table ([..., V, nv]).
+
+    Keys pack [valid:1 | random | coverage:6 | point index]; the point index
+    occupies the low bits. Returns int32 slots with -1 for empty, matching
+    build_voxel_table(with_slots=True) for the same build key."""
+    idx_bits = max(1, int(n_points - 1).bit_length())
+    valid = key_table >= (1 << 30)
+    return jnp.where(valid, key_table & ((1 << idx_bits) - 1), -1)

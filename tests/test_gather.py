@@ -6,7 +6,16 @@ import numpy as np
 
 from gridgcn_tpu.configs.base import GridLayerSpec
 from gridgcn_tpu.ops import cagq
+from gridgcn_tpu.ops.voxelize import slots_from_keys
 from tests.oracle import oracle_np
+
+
+def _slots(table, n_points):
+    """Slot table for oracles: direct, or recovered from the packed keys
+    (the default CAGQ path builds keys instead of slots)."""
+    if table.slots is not None:
+        return np.asarray(table.slots)
+    return np.asarray(slots_from_keys(table.key_table, n_points))
 
 SPEC = GridLayerSpec(resolution=8, nv=4, n_centers=48, k_neighbors=16,
                      context=3, sampler="rvs")
@@ -58,7 +67,7 @@ def test_neighbor_count_saturates(rng_key):
     out, xyz, mask = _run(rng_key)
     g = out.groups
     table = out.table
-    slots = np.asarray(table.slots)
+    slots = _slots(table, xyz.shape[1])
     nmask = np.asarray(g.neighbor_mask)
     cvid = np.asarray(g.center_vids)
     cvalid = np.asarray(g.center_valid)
@@ -85,7 +94,7 @@ def test_center_barycenter(rng_key):
     out, xyz, mask = _run(rng_key)
     g = out.groups
     table = out.table
-    slots = np.asarray(table.slots)
+    slots = _slots(table, xyz.shape[1])
     xyz_np = np.asarray(xyz)
     cxyz = np.asarray(g.center_xyz)
     cvid = np.asarray(g.center_vids)

@@ -104,3 +104,27 @@ def test_segmentation_forward_pallas_knn(rng_key):
                          rngs=_rngs())
     assert logits.shape == (2, cfg.data.num_points, cfg.model.num_classes)
     assert bool(jnp.isfinite(logits).all())
+
+
+def test_segmentation_pallas_knn_trainable(rng_key):
+    """Gradients flow through the seg model when the decoder uses the Pallas
+    kNN (indices/distances stop-gradient, features differentiate)."""
+    import dataclasses
+
+    cfg = presets.get("synthetic_tiny_seg")
+    ups = tuple(dataclasses.replace(u, method="pallas")
+                for u in cfg.model.up_layers)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, up_layers=ups))
+    model, variables = init_model(cfg)
+    xyz, feat, mask = example_inputs(cfg, batch_size=2)
+
+    def loss(params):
+        v = {**variables, "params": params}
+        logits = model.apply(v, xyz, feat, mask, train=False, rngs=_rngs())
+        return jnp.sum(logits.astype(jnp.float32) ** 2)
+
+    grads = jax.grad(loss)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.isfinite(g).all()) for g in leaves)
+    assert any(float(jnp.abs(g).sum()) > 0 for g in leaves)
