@@ -70,6 +70,20 @@ def sample_centers_rvs(table: VoxelTable, M: int, key: jax.Array,
         table.coverage > 0, keys)
 
 
+def _box_sum(x: jax.Array, resolution: int, context: int) -> jax.Array:
+    """Sum of x over each voxel's context³ neighborhood, zero-padded at the
+    grid boundary. x [V] → [V], via a separable context-tap stencil."""
+    r = (context - 1) // 2
+    R = resolution
+    g = x.reshape(R, R, R)
+    for axis in range(3):
+        pad = [(r, r) if a == axis else (0, 0) for a in range(3)]
+        gp = jnp.pad(g, pad)
+        g = sum(jax.lax.slice_in_dim(gp, t, t + R, axis=axis)
+                for t in range(context))
+    return g.reshape(-1)
+
+
 def _coverage_counts(sel_vids: jax.Array, sel_valid: jax.Array,
                      resolution: int, context: int) -> jax.Array:
     """C_u: number of selected voxels whose context covers voxel u. [V+1]."""
@@ -110,11 +124,20 @@ def _cas_one(occupied: jax.Array, M: int, key: jax.Array,
         inc = sel_vids[slot]
         inc_valid = sel_valid[slot]
 
+        # H_add / H_rmv are context³ box-sums of indicator maps — computing
+        # them ONCE over the whole grid (separable k-tap stencil, O(V) VPU)
+        # and gathering one value per challenger replaces two [M, P] gathers
+        # per round (~9 ms/step at scannet_seg scale). Zero padding at the
+        # grid boundary reproduces the in-bounds masking exactly.
+        uncovered3 = _box_sum((C[:V] == 0).astype(jnp.int32),
+                              resolution, context)
+        once3 = _box_sum((C[:V] == 1).astype(jnp.int32), resolution, context)
+        h_add = uncovered3[chal]
+        h_rmv = once3[jnp.minimum(inc, V - 1)]
+        swap = chal_ok & inc_valid & (h_add > h_rmv)
+
         c_nb, c_inb = context_neighbors(chal, resolution, context)  # [M, P]
         i_nb, i_inb = context_neighbors(inc, resolution, context)
-        h_add = jnp.sum((C[c_nb] == 0) & c_inb, axis=-1)
-        h_rmv = jnp.sum((C[i_nb] == 1) & i_inb, axis=-1)
-        swap = chal_ok & inc_valid & (h_add > h_rmv)
 
         sel_vids = sel_vids.at[slot].set(jnp.where(swap, chal, inc))
         sel_mask = sel_mask.at[jnp.where(swap, chal, V)].set(True)
