@@ -55,7 +55,7 @@ def cagq(xyz: jax.Array, mask: jax.Array, spec: GridLayerSpec,
     elif spec.sampler == "cas":
         center_vids, center_valid = sample_centers_cas(
             table, spec.n_centers, k_sample, context=spec.context,
-            cas_iters=spec.cas_iters)
+            cas_iters=spec.cas_iters, approx=spec.approx_select)
     else:
         raise ValueError(f"unknown sampler: {spec.sampler}")
 

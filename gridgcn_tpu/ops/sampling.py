@@ -94,18 +94,24 @@ def _coverage_counts(sel_vids: jax.Array, sel_valid: jax.Array,
 
 
 def _cas_one(occupied: jax.Array, M: int, key: jax.Array,
-             resolution: int, context: int, rounds: int):
+             resolution: int, context: int, rounds: int,
+             approx: bool = False):
     """Batched-greedy CAS: each round pits M distinct challengers against a
     random permutation of incumbents and applies every winning swap at once
     (Jacobi-style — heuristics are evaluated against the round's starting
     coverage C). The reference's CUDA loop is one-challenge-at-a-time
     (Gauss-Seidel); the batched variant is the TPU-shaped approximation
     (SURVEY §7 H3) and the §4.2 property test keeps it honest: coverage must
-    beat RVS in expectation."""
+    beat RVS in expectation.
+
+    approx=True swaps the Gumbel top-k (a V-wide sort per use) for threshold
+    sampling in BOTH the RVS init and the per-round challenger pick — the
+    challenger set only needs to be a uniform random subset, so the ~3%
+    expected shortfall just means slightly fewer challenges that round."""
     V = occupied.shape[0]
     k_init, k_rounds = jax.random.split(key)
 
-    sel_vids, sel_valid = _rvs_one(occupied, M, k_init)
+    sel_vids, sel_valid = _rvs_one(occupied, M, k_init, approx=approx)
     sel_mask = jnp.zeros((V + 1,), bool).at[
         jnp.where(sel_valid, sel_vids, V)].set(True)
     C = _coverage_counts(sel_vids, sel_valid, resolution, context)  # [V+1]
@@ -114,11 +120,14 @@ def _cas_one(occupied: jax.Array, M: int, key: jax.Array,
         sel_vids, sel_valid, sel_mask, C = carry
         k_chal, k_perm = jax.random.split(rkey)
 
-        g = jax.random.gumbel(k_chal, (V,))
         avail = occupied & ~sel_mask[:V]
-        _, chal = jax.lax.top_k(jnp.where(avail, g, _NEG_INF), M)
-        chal = chal.astype(jnp.int32)
-        chal_ok = avail[chal]
+        if approx:
+            chal, chal_ok = _rvs_one(avail, M, k_chal, approx=True)
+        else:
+            g = jax.random.gumbel(k_chal, (V,))
+            _, chal = jax.lax.top_k(jnp.where(avail, g, _NEG_INF), M)
+            chal = chal.astype(jnp.int32)
+            chal_ok = avail[chal]
 
         slot = jax.random.permutation(k_perm, M)       # incumbent per chall.
         inc = sel_vids[slot]
@@ -155,14 +164,16 @@ def _cas_one(occupied: jax.Array, M: int, key: jax.Array,
 
 
 def sample_centers_cas(table: VoxelTable, M: int, key: jax.Array,
-                       context: int = 3, cas_iters: int = 1):
+                       context: int = 3, cas_iters: int = 1,
+                       approx: bool = False):
     """Coverage-Aware Sampling. Returns (center_vids, center_valid).
 
     `cas_iters` = number of batched challenge rounds (each round issues M
     challenges in parallel). Approximate-CAS, provably ≥ RVS coverage in
-    expectation (§4.2 property test)."""
+    expectation (§4.2 property test). approx=True: sort-free threshold
+    sampling for the init and challenger picks (see _cas_one)."""
     B = table.coverage.shape[0]
     keys = jax.random.split(key, B)
     return jax.vmap(lambda o, k: _cas_one(
-        o, M, k, table.resolution, context, cas_iters))(
+        o, M, k, table.resolution, context, cas_iters, approx=approx))(
             table.coverage > 0, keys)
