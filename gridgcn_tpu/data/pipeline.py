@@ -101,3 +101,46 @@ def make_dataset(cfg: DataConfig, split: str, num_classes: int,
                             ).astype(np.float32)
     return Dataset(pts, labels, features=feats, task=task,
                    num_classes=num_classes)
+
+
+class Prefetcher:
+    """Background-thread batch prefetch (host↔device pipelining, F-15).
+
+    Assembles up to `depth` upcoming batches (threaded C++ row gathers,
+    data/native.py) and stages them on device while the current step runs,
+    so the feeder overlaps device compute — the reference's iterator was
+    synchronous and host-bound (SURVEY §3.1). `put` is the device-placement
+    function (jax.device_put / shard_batch); exceptions in the worker are
+    re-raised at the consuming `next()`."""
+
+    _SENTINEL = object()
+
+    def __init__(self, batches, put, depth: int = 2):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=max(1, depth))
+        self._err = None
+
+        def run():
+            try:
+                for b in batches:
+                    self._q.put(put(b))
+            except BaseException as e:     # noqa: BLE001 — re-raised below
+                self._err = e
+            finally:
+                self._q.put(self._SENTINEL)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._SENTINEL:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item

@@ -79,12 +79,16 @@ def train(cfg: Config, mesh_devices: int = 0, log_path: str | None = None):
         return shard_batch(batch, mesh) if mesh is not None else {
             k: jax.device_put(v) for k, v in batch.items()}
 
+    from gridgcn_tpu.data.pipeline import Prefetcher
+
     for epoch in range(start_epoch, cfg.train.epochs):
         t_ep = time.time()
         losses, accs = [], []
-        for batch in train_ds.batches(cfg.data.batch_size,
-                                      seed=cfg.train.seed + epoch):
-            state, m = train_step(state, put(batch), rng)
+        # background host-side assembly + device staging overlaps the steps
+        for batch in Prefetcher(
+                train_ds.batches(cfg.data.batch_size,
+                                 seed=cfg.train.seed + epoch), put):
+            state, m = train_step(state, batch, rng)
             losses.append(m["loss"])
             accs.append(m["acc"])
             if int(state.step) % cfg.train.log_every == 0:

@@ -52,3 +52,23 @@ def test_metric_logger_jsonl():
     rec = json.loads(buf.getvalue())
     assert rec["kind"] == "train_step" and rec["loss"] == 0.5
     assert rec["arr"] == 1.25 and rec["vec"] == [1, 2]
+
+
+def test_prefetcher_order_and_errors():
+    """Prefetcher yields batches in order and re-raises worker exceptions."""
+    from gridgcn_tpu.data.pipeline import Prefetcher
+
+    out = list(Prefetcher(iter(range(7)), lambda x: x * 2, depth=3))
+    assert out == [0, 2, 4, 6, 8, 10, 12]
+
+    def bad_gen():
+        yield 1
+        raise RuntimeError("boom")
+
+    import pytest
+
+    pf = Prefetcher(bad_gen(), lambda x: x)
+    assert next(pf) == 1
+    with pytest.raises(RuntimeError, match="boom"):
+        for _ in pf:
+            pass
