@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from gridgcn_tpu.ops.gridutil import context_neighbors
+
 from gridgcn_tpu.ops.voxelize import VoxelTable
 
 _NEG_INF = -1e30
@@ -86,11 +86,15 @@ def _box_sum(x: jax.Array, resolution: int, context: int) -> jax.Array:
 
 def _coverage_counts(sel_vids: jax.Array, sel_valid: jax.Array,
                      resolution: int, context: int) -> jax.Array:
-    """C_u: number of selected voxels whose context covers voxel u. [V+1]."""
+    """C_u: number of selected voxels whose context covers voxel u. [V+1].
+
+    One [M]-row scatter of the selected-voxel one-hot counts, then the
+    context³ box stencil — instead of an [M, context³]-row scatter."""
     V = resolution ** 3
-    nvid, inb = context_neighbors(sel_vids, resolution, context)  # [M, P]
-    dest = jnp.where(inb & sel_valid[:, None], nvid, V)
-    return jnp.zeros((V + 1,), jnp.int32).at[dest.reshape(-1)].add(1)
+    sel = jnp.zeros((V + 1,), jnp.int32).at[
+        jnp.where(sel_valid, sel_vids, V)].add(1)
+    return jnp.concatenate(
+        [_box_sum(sel[:V], resolution, context), jnp.zeros((1,), jnp.int32)])
 
 
 def _cas_one(occupied: jax.Array, M: int, key: jax.Array,
@@ -145,16 +149,17 @@ def _cas_one(occupied: jax.Array, M: int, key: jax.Array,
         h_rmv = once3[jnp.minimum(inc, V - 1)]
         swap = chal_ok & inc_valid & (h_add > h_rmv)
 
-        c_nb, c_inb = context_neighbors(chal, resolution, context)  # [M, P]
-        i_nb, i_inb = context_neighbors(inc, resolution, context)
-
         sel_vids = sel_vids.at[slot].set(jnp.where(swap, chal, inc))
         sel_mask = sel_mask.at[jnp.where(swap, chal, V)].set(True)
         sel_mask = sel_mask.at[jnp.where(swap, inc, V)].set(False)
-        dc = jnp.where(swap[:, None] & c_inb, c_nb, V).reshape(-1)
-        di = jnp.where(swap[:, None] & i_inb, i_nb, V).reshape(-1)
-        C = C.at[dc].add(1).at[di].add(-1)
-        C = C.at[V].set(0)
+        # coverage update = box stencil of the swap deltas: two [M]-row
+        # one-hot scatters + O(V) stencil work, instead of two
+        # [M, context³]-row scatters (the dominant CAS cost at M≥512)
+        dswap = swap.astype(jnp.int32)
+        delta = (jnp.zeros((V + 1,), jnp.int32)
+                 .at[jnp.where(swap, chal, V)].add(dswap)
+                 .at[jnp.where(swap, inc, V)].add(-dswap))[:V]
+        C = C.at[:V].add(_box_sum(delta, resolution, context))
         return (sel_vids, sel_valid, sel_mask, C), None
 
     (sel_vids, sel_valid, _, _), _ = jax.lax.scan(
