@@ -139,25 +139,30 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
 
     keep = (sorted_vid < V) & (rank < nv)
     dest = jnp.where(keep, sorted_vid * nv + rank, V * nv)
+
+    # segment length (= raw voxel coverage) in sorted order without a
+    # gather: the next segment start via a reversed cumulative min. All
+    # slot-keyed scatters below have UNIQUE destinations by construction
+    # (one slot per kept point; non-kept collapse onto one discarded
+    # sentinel cell), so they take XLA's no-collision scatter path.
+    nxt_src = jnp.where(
+        jnp.concatenate([is_start[1:], jnp.ones((1,), bool)]),
+        idx + 1, N)
+    next_start = jnp.flip(jax.lax.cummin(jnp.flip(nxt_src)))
+    seg_len = next_start - seg_start
+
     slots = None
     if with_slots:
-        slots = jnp.full((V * nv + 1,), -1,
-                         jnp.int32).at[dest].set(sorted_pidx)
+        slots = jnp.full((V * nv + 1,), -1, jnp.int32).at[dest].set(
+            sorted_pidx, unique_indices=True)
         slots = slots[: V * nv].reshape(V, nv)
 
     key_table = None
     if with_keys:
-        # precomputed selection keys (see VoxelTable docstring). Segment
-        # length (= voxel coverage) in sorted order without a gather: the
-        # next segment start via a reversed cumulative min.
+        # precomputed selection keys (see VoxelTable docstring)
         idx_bits = max(1, int(N - 1).bit_length())
         cov_bits = 6
         rand_bits = max(1, 30 - idx_bits - cov_bits)
-        nxt_src = jnp.where(
-            jnp.concatenate([is_start[1:], jnp.ones((1,), bool)]),
-            idx + 1, N)
-        next_start = jnp.flip(jax.lax.cummin(jnp.flip(nxt_src)))
-        seg_len = next_start - seg_start
         cov_q = jnp.minimum(seg_len, (1 << cov_bits) - 1)
         # random selection-key bits: reuse the top of the packed sort key's
         # random field (srand_bits ≥ rand_bits holds at practical N/V)
@@ -166,13 +171,17 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
         keys = ((keep.astype(jnp.int32) << 30)
                 | (rbits << (idx_bits + cov_bits))
                 | (cov_q << idx_bits) | sorted_pidx)
-        key_table = jnp.zeros((V * nv + 1,), jnp.int32).at[dest].set(keys)
+        key_table = jnp.zeros((V * nv + 1,), jnp.int32).at[dest].set(
+            keys, unique_indices=True)
         key_table = key_table[: V * nv].reshape(V, nv)
 
     coords = xyz[sorted_pidx]                                    # [N, 3]
 
     # per-voxel sums of STORED coordinates (drives barycenters): three
-    # scatter-adds into a [3, V+1] row layout (lane-major, no 3→128 padding)
+    # scatter-adds into a [3, V+1] row layout (lane-major, no 3→128
+    # padding). A collision-free variant (unique slot cells + nv-reduce)
+    # profiled SLOWER — the [3, V·nv] buffer traffic exceeds what the
+    # colliding add costs.
     sum_dest = jnp.where(keep, sorted_vid, V)
     coord_sums = jnp.zeros((3, V + 1), xyz.dtype).at[:, sum_dest].add(coords.T)
 
@@ -186,9 +195,14 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
         dest3 = jnp.concatenate([vox_base, vox_base + nv, vox_base + 2 * nv])
         vals3 = jnp.concatenate([coords[:, 0], coords[:, 1], coords[:, 2]])
         cflat = jnp.full(((V + 1) * 3 * nv + 1,), COORD_SENTINEL, xyz.dtype)
-        coord_table = cflat.at[dest3].set(vals3)[:-1].reshape(V + 1, 3 * nv)
+        coord_table = cflat.at[dest3].set(
+            vals3, unique_indices=True)[:-1].reshape(V + 1, 3 * nv)
 
-    coverage = jnp.zeros((V + 1,), jnp.int32).at[vid].add(1)[:V]
+    # raw per-voxel point count from the segment lengths: one scatter-SET of
+    # unique segment starts instead of a colliding [N]-row scatter-add
+    start_dest = jnp.where(is_start & (sorted_vid < V), sorted_vid, V)
+    coverage = jnp.zeros((V + 1,), jnp.int32).at[start_dest].set(
+        seg_len, unique_indices=True)[:V]
     occupancy = jnp.minimum(coverage, nv)
     return (slots, key_table, coord_table, coord_sums, occupancy, coverage,
             vid, origin, vsize)
