@@ -1,0 +1,128 @@
+"""F-11/F-12/F-13 dataset loaders against tiny fake distributions.
+
+The CI environment has no real datasets, so every other test exercises the
+synthetic fallback; these tests write miniature files in the STANDARD
+layouts (modelnet40_ply_hdf5_2048 HDF5, indoor3d_sem_seg_hdf5_data blocks,
+scannet npy dumps) and drive the real parsing paths.
+"""
+
+import numpy as np
+import pytest
+
+from gridgcn_tpu.data.modelnet40 import load_modelnet40
+from gridgcn_tpu.data.s3dis import load_s3dis
+from gridgcn_tpu.data.scannet import load_scannet, pad_scene
+
+
+def _write_modelnet(root):
+    h5py = pytest.importorskip("h5py")
+    base = root / "modelnet40_ply_hdf5_2048"
+    base.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for split, files, n in (("train", ["ply_data_train0.h5"], 6),
+                            ("test", ["ply_data_test0.h5"], 4)):
+        for fn in files:
+            with h5py.File(base / fn, "w") as h5:
+                h5["data"] = rng.uniform(-3, 3, (n, 2048, 3)).astype(
+                    np.float32)
+                h5["label"] = rng.integers(0, 40, (n, 1)).astype(np.uint8)
+        with open(base / f"{split}_files.txt", "w") as f:
+            f.write("\n".join(f"data/modelnet40_ply_hdf5_2048/{fn}"
+                              for fn in files) + "\n")
+
+
+def test_modelnet40_loader(tmp_path):
+    _write_modelnet(tmp_path)
+    pts, labels = load_modelnet40(str(tmp_path), "train", 1024)
+    assert pts.shape == (6, 1024, 3) and pts.dtype == np.float32
+    assert labels.shape == (6,) and labels.dtype == np.int32
+    # unit-sphere normalization: max radius ≈ 1 per cloud
+    radii = np.linalg.norm(pts, axis=-1).max(axis=-1)
+    np.testing.assert_allclose(radii, 1.0, atol=1e-5)
+
+    pts_t, labels_t = load_modelnet40(str(tmp_path), "test", 1024)
+    assert pts_t.shape[0] == 4
+
+
+def test_s3dis_npy_loader(tmp_path):
+    base = tmp_path / "s3dis"
+    base.mkdir()
+    rng = np.random.default_rng(1)
+    np.save(base / "s3dis_train_points.npy",
+            rng.uniform(0, 1, (5, 4096, 9)).astype(np.float32))
+    np.save(base / "s3dis_train_labels.npy",
+            rng.integers(0, 13, (5, 4096)).astype(np.int32))
+    xyz, feats, labels = load_s3dis(str(tmp_path), "train", 2048)
+    assert xyz.shape == (5, 2048, 3)
+    assert feats.shape == (5, 2048, 6)
+    assert labels.shape == (5, 2048)
+
+
+def test_s3dis_hdf5_area5_split(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    h5dir = tmp_path / "s3dis" / "indoor3d_sem_seg_hdf5_data"
+    h5dir.mkdir(parents=True)
+    rng = np.random.default_rng(2)
+    S = 6
+    with h5py.File(h5dir / "ply_data_all_0.h5", "w") as h5:
+        h5["data"] = rng.uniform(0, 1, (S, 4096, 9)).astype(np.float32)
+        h5["label"] = rng.integers(0, 13, (S, 4096)).astype(np.uint8)
+    with open(h5dir / "all_files.txt", "w") as f:
+        f.write("indoor3d_sem_seg_hdf5_data/ply_data_all_0.h5\n")
+    rooms = ["Area_1_office_1"] * 4 + ["Area_5_office_1"] * 2
+    with open(h5dir / "room_filelist.txt", "w") as f:
+        f.write("\n".join(rooms) + "\n")
+
+    xyz, _, _ = load_s3dis(str(tmp_path), "train", 4096)
+    assert xyz.shape[0] == 4          # Area-5 rooms held out
+    xyz_t, _, _ = load_s3dis(str(tmp_path), "test", 4096)
+    assert xyz_t.shape[0] == 2        # Area-5 only
+
+
+def test_scannet_loader_dense_and_ragged(tmp_path):
+    base = tmp_path / "scannet"
+    base.mkdir()
+    rng = np.random.default_rng(3)
+    # dense layout
+    np.save(base / "scannet_train_points.npy",
+            rng.uniform(0, 5, (4, 9000, 3)).astype(np.float32))
+    np.save(base / "scannet_train_labels.npy",
+            rng.integers(0, 21, (4, 9000)).astype(np.int32))
+    pts, labels = load_scannet(str(tmp_path), "train", 8192)
+    assert pts.shape == (4, 8192, 3) and labels.shape == (4, 8192)
+
+    # ragged (object-array) scenes: crop the big one, resample the small one
+    scenes = np.empty(2, object)
+    scenes[0] = rng.uniform(0, 5, (9000, 3)).astype(np.float32)
+    scenes[1] = rng.uniform(0, 5, (700, 3)).astype(np.float32)
+    labs = np.empty(2, object)
+    labs[0] = rng.integers(0, 21, 9000).astype(np.int32)
+    labs[1] = rng.integers(0, 21, 700).astype(np.int32)
+    np.save(base / "scannet_test_points.npy", scenes, allow_pickle=True)
+    np.save(base / "scannet_test_labels.npy", labs, allow_pickle=True)
+    pts, labels = load_scannet(str(tmp_path), "test", 2048)
+    assert pts.shape == (2, 2048, 3) and labels.shape == (2, 2048)
+
+
+def test_pad_scene():
+    pts = np.ones((100, 3), np.float32)
+    labs = np.ones((100,), np.int32)
+    p, l, m = pad_scene(pts, labs, 128)
+    assert p.shape == (128, 3) and m.sum() == 100 and not m[100:].any()
+    with pytest.raises(ValueError, match="static capacity"):
+        pad_scene(pts, labs, 50)
+
+
+def test_make_dataset_picks_real_files_over_fallback(tmp_path):
+    """make_dataset must use real files when present (the fallback is 64
+    train clouds; the fake distribution has 6)."""
+    import dataclasses
+
+    from gridgcn_tpu.configs.base import DataConfig
+    from gridgcn_tpu.data.pipeline import make_dataset
+
+    _write_modelnet(tmp_path)
+    cfg = DataConfig(dataset="modelnet40", num_points=1024, batch_size=2,
+                     root=str(tmp_path))
+    ds = make_dataset(cfg, "train", 40, "cls")
+    assert ds.size == 6
