@@ -42,6 +42,10 @@ class GridLayerSpec:
     # center/node selection — selection is random anyway, so ~0.95 recall
     # changes nothing semantically; big win at whole-scene sizes.
     approx_select: bool = False
+    # node selection via approx_max_k over the packed keys (~0.95 recall —
+    # a different random node subset; occasionally <K nodes when the pool
+    # is barely larger than K) instead of an exact row sort
+    approx_topk: bool = False
 
     # --- GCA (aggregation) side ---
     mlp: Tuple[int, ...] = (64, 64)   # edge-MLP channel stack (last = output width)

@@ -146,16 +146,16 @@ def scannet_whole_scene() -> Config:
     layers = (
         GridLayerSpec(resolution=64, nv=16, n_centers=8192, k_neighbors=32,
                       sampler="rvs", mlp=(64, 64), context_channels=32,
-                      approx_select=True),
+                      approx_select=True, approx_topk=True),
         GridLayerSpec(resolution=32, nv=16, n_centers=2048, k_neighbors=32,
                       sampler="rvs", mlp=(128, 128), context_channels=64,
-                      approx_select=True),
+                      approx_select=True, approx_topk=True),
         GridLayerSpec(resolution=16, nv=16, n_centers=512, k_neighbors=32,
                       sampler="rvs", mlp=(256, 256), context_channels=64,
-                      approx_select=True),
+                      approx_select=True, approx_topk=True),
         GridLayerSpec(resolution=8, nv=32, n_centers=128, k_neighbors=16,
                       sampler="rvs", mlp=(512, 512), context_channels=128,
-                      approx_select=True),
+                      approx_select=True, approx_topk=True),
     )
     up_layers = (
         UpLayerSpec(resolution=8, nv=32, mlp=(256, 256), approx_knn=True,

@@ -63,5 +63,5 @@ def cagq(xyz: jax.Array, mask: jax.Array, spec: GridLayerSpec,
         table, xyz, center_vids, center_valid,
         spec.k_neighbors, spec.context, k_gather,
         center_mode=spec.center_mode, approx=use_packed,
-        return_candidates=need_candidates)
+        return_candidates=need_candidates, approx_topk=spec.approx_topk)
     return CAGQOutput(table=table, groups=groups)

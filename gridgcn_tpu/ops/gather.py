@@ -63,7 +63,8 @@ class GroupedNodes:
 def _gather_one(slots, key_table, coord_sums, occupancy, coverage, xyz,
                 center_vids, center_valid, key, resolution: int, K: int,
                 context: int, center_mode: str, origin, vsize,
-                approx: bool = False, return_candidates: bool = False):
+                approx: bool = False, return_candidates: bool = False,
+                approx_topk: bool = False):
     """Single-cloud gather; vmapped over the batch."""
     V = resolution ** 3
     nv = (key_table if slots is None else slots).shape[-1]
@@ -111,16 +112,27 @@ def _gather_one(slots, key_table, coord_sums, occupancy, coverage, xyz,
         cand_keys = jax.vmap(lambda b: jax.lax.dynamic_slice_in_dim(
             keys_p, b, context, 0))(flat_base).reshape(M, P, nv)
         cand_keys = jnp.where(inb[..., None], cand_keys, 0)
-        top_keys, _ = jax.lax.top_k(cand_keys.reshape(M, P * nv), kk)
+        if approx_topk:
+            # keys are positive finite floats under bitcast (valid bit 29,
+            # voxelize.py), so the random-subset selection can ride
+            # approx_max_k's PartialReduce instead of a full row sort.
+            # ~0.95 recall per slot — a different random subset, which is
+            # exactly what the selection is anyway.
+            vals, _ = jax.lax.approx_max_k(
+                jax.lax.bitcast_convert_type(
+                    cand_keys.reshape(M, P * nv), jnp.float32), kk)
+            top_keys = jax.lax.bitcast_convert_type(vals, jnp.int32)
+        else:
+            top_keys, _ = jax.lax.top_k(cand_keys.reshape(M, P * nv), kk)
         if kk < K:
             top_keys = jnp.pad(top_keys, ((0, 0), (0, K - kk)))
-        neighbor_mask = top_keys >= (1 << 30)
+        neighbor_mask = top_keys >= (1 << 29)
         neighbor_idx = jnp.where(neighbor_mask,
                                  top_keys & ((1 << idx_bits) - 1), 0)
         node_coverage = jnp.where(
             neighbor_mask, (top_keys >> idx_bits) & ((1 << cov_bits) - 1), 0)
         flat_keys = cand_keys.reshape(M, P * nv)
-        cand_valid = flat_keys >= (1 << 30)
+        cand_valid = flat_keys >= (1 << 29)
         cand_idx = jnp.where(cand_valid, flat_keys & ((1 << idx_bits) - 1), 0)
     else:
         # exact path: coverage rides as an extra column of the slots table
@@ -193,18 +205,20 @@ def center_positions(coord_sums, occupancy, center_vids, center_valid,
 def gather_nodes(table: VoxelTable, xyz: jax.Array, center_vids: jax.Array,
                  center_valid: jax.Array, K: int, context: int,
                  key: jax.Array, center_mode: str = "barycenter",
-                 approx: bool = False,
-                 return_candidates: bool = False) -> GroupedNodes:
+                 approx: bool = False, return_candidates: bool = False,
+                 approx_topk: bool = False) -> GroupedNodes:
     """Batched F-04 gather; centers from F-02/F-03; xyz = level points.
 
     return_candidates=True additionally emits the full [M, P*nv] context
-    point indices/validity (the paper's grid-context pooling input, F-07)."""
+    point indices/validity (the paper's grid-context pooling input, F-07).
+    approx_topk=True (packed path only) selects nodes with approx_max_k
+    instead of a full row sort."""
     B = table.coverage.shape[0]
     keys = jax.random.split(key, B)
     outs = jax.vmap(
         lambda s, kt, cs, oc, c, x, cv, va, k, o, vs: _gather_one(
             s, kt, cs, oc, c, x, cv, va, k, table.resolution, K, context,
-            center_mode, o, vs, approx, return_candidates))(
+            center_mode, o, vs, approx, return_candidates, approx_topk))(
         table.slots, table.key_table, table.coord_sums, table.occupancy,
         table.coverage, xyz, center_vids, center_valid, keys,
         table.origin, table.vsize)

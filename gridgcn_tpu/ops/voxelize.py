@@ -160,15 +160,19 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
     key_table = None
     if with_keys:
         # precomputed selection keys (see VoxelTable docstring)
+        # the valid flag sits at bit 29 (not 30) so every key stays below
+        # 0x40000000 — bitcast to f32 the keys are positive FINITE floats
+        # whose ordering matches the int ordering, which lets the selection
+        # run through approx_max_k (PartialReduce) instead of a full sort
         idx_bits = max(1, int(N - 1).bit_length())
         cov_bits = 6
-        rand_bits = max(1, 30 - idx_bits - cov_bits)
+        rand_bits = max(1, 29 - idx_bits - cov_bits)
         cov_q = jnp.minimum(seg_len, (1 << cov_bits) - 1)
         # random selection-key bits: reuse the top of the packed sort key's
         # random field (srand_bits ≥ rand_bits holds at practical N/V)
         rbits = ((sorted_skey >> max(srand_bits - rand_bits, 0))
                  & ((1 << rand_bits) - 1)).astype(jnp.int32)
-        keys = ((keep.astype(jnp.int32) << 30)
+        keys = ((keep.astype(jnp.int32) << 29)
                 | (rbits << (idx_bits + cov_bits))
                 | (cov_q << idx_bits) | sorted_pidx)
         key_table = jnp.zeros((V * nv + 1,), jnp.int32).at[dest].set(
@@ -269,5 +273,5 @@ def slots_from_keys(key_table: jax.Array, n_points: int) -> jax.Array:
     occupies the low bits. Returns int32 slots with -1 for empty, matching
     build_voxel_table(with_slots=True) for the same build key."""
     idx_bits = max(1, int(n_points - 1).bit_length())
-    valid = key_table >= (1 << 30)
+    valid = key_table >= (1 << 29)
     return jnp.where(valid, key_table & ((1 << idx_bits) - 1), -1)

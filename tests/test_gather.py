@@ -163,3 +163,24 @@ def test_index_determinism(rng_key):
     out2, _, _ = _run(rng_key)
     np.testing.assert_array_equal(np.asarray(out1.groups.neighbor_idx),
                                   np.asarray(out2.groups.neighbor_idx))
+
+
+def test_approx_topk_padding_invariance(rng_key):
+    """approx_max_k node selection: masked-out points still never leak."""
+    spec = GridLayerSpec(resolution=8, nv=4, n_centers=48, k_neighbors=16,
+                         context=3, sampler="rvs", approx_topk=True)
+    B, N, pad = 2, 400, 60
+    xyz = jax.random.uniform(rng_key, (B, N, 3), minval=-1.0, maxval=1.0)
+    mask = jnp.ones((B, N), bool).at[:, N - pad:].set(False)
+    out1 = cagq(xyz, mask, spec, jax.random.PRNGKey(5))
+    garbage = xyz.at[:, N - pad:, :].set(123.456)
+    out2 = cagq(garbage, mask, spec, jax.random.PRNGKey(5))
+    g1, g2 = out1.groups, out2.groups
+    np.testing.assert_array_equal(np.asarray(g1.neighbor_idx),
+                                  np.asarray(g2.neighbor_idx))
+    np.testing.assert_array_equal(np.asarray(g1.neighbor_mask),
+                                  np.asarray(g2.neighbor_mask))
+    np.testing.assert_allclose(np.asarray(g1.node_xyz),
+                               np.asarray(g2.node_xyz))
+    # every valid center found nodes (pool ≥ K here)
+    assert bool(g1.neighbor_mask[np.asarray(g1.center_valid)].any())
