@@ -25,7 +25,11 @@ from gridgcn_tpu.utils.checkpoint import CheckpointManager
 
 
 class Predictor:
-    def __init__(self, ckpt_dir: str, step: Optional[int] = None):
+    def __init__(self, ckpt_dir: str, step: Optional[int] = None,
+                 mesh=None):
+        """mesh: None (single device), an int (data-parallel serving over
+        that many devices), or a jax.sharding.Mesh — batches shard across
+        the mesh, parameters replicate (F-19 applied to inference)."""
         self.cfg = CheckpointManager.load_config(ckpt_dir)
         model, variables = init_model(self.cfg, seed=0)
         state = create_train_state(self.cfg, model, variables, 1)
@@ -39,6 +43,19 @@ class Predictor:
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
         self._model = model
+
+        self._mesh = None
+        self._n_shards = 1
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from gridgcn_tpu.parallel.mesh import DATA_AXIS, make_mesh
+            self._mesh = make_mesh(mesh) if isinstance(mesh, int) else mesh
+            self._n_shards = int(np.prod(
+                [self._mesh.shape[a] for a in self._mesh.axis_names]))
+            self._batch_sh = NamedSharding(self._mesh, P(DATA_AXIS))
+            variables = jax.device_put(
+                variables, NamedSharding(self._mesh, P()))
         self._fwd = jax.jit(
             lambda x, f, m, k: model.apply(
                 variables, x, f, m, train=False, rngs={"cagq": k}))
@@ -59,13 +76,31 @@ class Predictor:
         if feat is not None:
             feat = jnp.asarray(feat, jnp.float32)
         key = rng if rng is not None else jax.random.PRNGKey(0)
+
+        B = xyz.shape[0]
+        pad = (-B) % self._n_shards       # mesh serving: pad to shard count
+        if pad:
+            xyz = jnp.concatenate([xyz, jnp.zeros((pad, *xyz.shape[1:]),
+                                                  xyz.dtype)])
+            mask = jnp.concatenate([mask, jnp.zeros((pad, mask.shape[1]),
+                                                    bool)])
+            if feat is not None:
+                feat = jnp.concatenate(
+                    [feat, jnp.zeros((pad, *feat.shape[1:]), feat.dtype)])
+        if self._mesh is not None:
+            xyz = jax.device_put(xyz, self._batch_sh)
+            mask = jax.device_put(mask, self._batch_sh)
+            if feat is not None:
+                feat = jax.device_put(feat, self._batch_sh)
         logits = self._fwd(xyz, feat, mask, key)
-        out = np.asarray(logits)
+        out = np.asarray(logits)[:B]
         return out[0] if squeeze else out
 
     def predict_classes(self, xyz, feat=None, mask=None):
         return np.argmax(self(xyz, feat, mask), axis=-1)
 
 
-def load_predictor(ckpt_dir: str, step: Optional[int] = None) -> Predictor:
-    return Predictor(ckpt_dir, step=step)
+def load_predictor(ckpt_dir: str, step: Optional[int] = None,
+                   mesh=None) -> Predictor:
+    """mesh=N serves data-parallel over N devices (params replicated)."""
+    return Predictor(ckpt_dir, step=step, mesh=mesh)

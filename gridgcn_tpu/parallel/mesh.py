@@ -25,6 +25,10 @@ def make_mesh(num_devices: Optional[int] = None,
     """1-D data-parallel mesh over the available chips."""
     devs = list(devices) if devices is not None else jax.devices()
     if num_devices is not None:
+        if num_devices > len(devs):
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devs)} devices are available")
         devs = devs[:num_devices]
     return Mesh(np.array(devs), (DATA_AXIS,))
 

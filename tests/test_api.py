@@ -35,3 +35,17 @@ def test_predictor_roundtrip(trained_dir):
     classes = predict.predict_classes(batch)
     assert classes.shape == (3,)
     assert (classes >= 0).all() and (classes < 4).all()
+
+
+def test_predictor_mesh_matches_single_device(trained_dir):
+    """Data-parallel serving over 4 fake devices: identical logits to the
+    single-device predictor (batch pads to the shard count and unpads)."""
+    predict1 = load_predictor(trained_dir)
+    predict4 = load_predictor(trained_dir, mesh=4)
+
+    rng = np.random.default_rng(1)
+    batch = rng.uniform(-1, 1, size=(6, 256, 3)).astype(np.float32)  # 6 % 4 != 0
+    out1 = predict1(batch)
+    out4 = predict4(batch)
+    assert out4.shape == out1.shape
+    np.testing.assert_allclose(out1, out4, rtol=2e-4, atol=2e-4)
