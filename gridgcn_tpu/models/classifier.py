@@ -37,10 +37,10 @@ class GridGCNClassifier(nn.Module):
         conv_cls = nn.remat(GridConv, static_argnums=(4,)) if cfg.remat \
             else GridConv
         for i, spec in enumerate(cfg.layers):
-            xyz, feat, mask = conv_cls(spec, dtype=dtype,
-                                       bn_momentum=cfg.bn_momentum,
-                                       name=f"gridconv{i}")(
-                xyz, feat, mask, train)
+            xyz, feat, mask = conv_cls(
+                spec, dtype=dtype, bn_momentum=cfg.bn_momentum,
+                feat_has_xyz_prefix=(i == 0 and cfg.use_xyz_feature),
+                name=f"gridconv{i}")(xyz, feat, mask, train)
 
         # global masked max-pool over the last level's centers
         x = jnp.max(jnp.where(mask[..., None], feat, _NEG_INF), axis=-2)

@@ -30,6 +30,12 @@ class GridConv(nn.Module):
     spec: GridLayerSpec
     dtype: jnp.dtype = jnp.float32
     bn_momentum: float = 0.9
+    # Set by the parent network on the INPUT layer when use_xyz_feature put
+    # raw xyz in feat[..., :3]: those channels are then read from the
+    # already-gathered g.node_xyz instead of a second [M·K]-row gather over
+    # feat (the gather was ~1.1 ms/scene at whole-scene scale — the single
+    # hottest op in the profile). Output-identical: GCA masks node_feat.
+    feat_has_xyz_prefix: bool = False
 
     @nn.compact
     def __call__(self, xyz: jax.Array, feat: Optional[jax.Array],
@@ -54,8 +60,17 @@ class GridConv(nn.Module):
         # (no [N,3] scalar gather here — SURVEY §7 H4)
         delta_p = g.node_xyz - g.center_xyz[:, :, None, :]
         delta_p = jnp.where(g.neighbor_mask[..., None], delta_p, 0.0)
-        node_feat = None if feat is None else gather_point_features(
-            feat, g.neighbor_idx)
+        if feat is None:
+            node_feat = None
+        elif self.feat_has_xyz_prefix:
+            node_xyz = g.node_xyz.astype(feat.dtype)
+            if feat.shape[-1] > 3:
+                rest = gather_point_features(feat[..., 3:], g.neighbor_idx)
+                node_feat = jnp.concatenate([node_xyz, rest], axis=-1)
+            else:
+                node_feat = node_xyz
+        else:
+            node_feat = gather_point_features(feat, g.neighbor_idx)
 
         # paper-faithful grid-context pooling source: masked mean over ALL
         # stored context points (spec.context_pool_source='candidates')

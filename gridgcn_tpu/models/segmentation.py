@@ -47,6 +47,7 @@ class GridGCNSegmentation(nn.Module):
             else GridConv
         self._convs = [
             conv_cls(spec, dtype=dtype, bn_momentum=cfg.bn_momentum,
+                     feat_has_xyz_prefix=(i == 0 and cfg.use_xyz_feature),
                      name=f"gridconv{i}")
             for i, spec in enumerate(cfg.layers)]
         self._up_dense = [

@@ -61,11 +61,39 @@ def _rvs_one(occupied: jax.Array, M: int, key: jax.Array,
     return jnp.maximum(vids, 0), valid
 
 
+def _rvs_one_sorted(sorted_vid: jax.Array, V: int, M: int, key: jax.Array):
+    """Threshold RVS over the voxel-sorted point array instead of the grid:
+    occupied voxels are exactly the segment starts of sorted_vid [N], so the
+    cumsum/compaction runs over N points, not V voxels (N ≪ V at whole-scene
+    scale — resolution³ = 3.2× the point count there). Same distribution as
+    `_rvs_one(approx=True)`: each occupied voxel kept i.i.d. with probability
+    p, output in ascending-vid order."""
+    N = sorted_vid.shape[0]
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_vid[1:] != sorted_vid[:-1]])
+    occ_start = is_start & (sorted_vid < V)
+    n_occ = jnp.sum(occ_start)
+    u = jax.random.uniform(key, (N,))
+    p = jnp.clip((M - 3.0 * jnp.sqrt(float(M))) / jnp.maximum(n_occ, 1),
+                 0.0, 1.0)
+    sel = occ_start & jnp.where(n_occ <= M, True, u < p)
+    rank = jnp.cumsum(sel) - 1
+    dest = jnp.where(sel & (rank < M), rank, M)
+    vids = jnp.full((M + 1,), -1, jnp.int32).at[dest].set(
+        sorted_vid, mode="drop", unique_indices=True)[:M]
+    valid = vids >= 0
+    return jnp.maximum(vids, 0), valid
+
+
 def sample_centers_rvs(table: VoxelTable, M: int, key: jax.Array,
                        approx: bool = False):
     """Returns (center_vids [B, M] int32, center_valid [B, M] bool)."""
     B = table.coverage.shape[0]
     keys = jax.random.split(key, B)
+    if approx:
+        V = table.num_voxels
+        return jax.vmap(lambda sv, k: _rvs_one_sorted(sv, V, M, k))(
+            table.sorted_vid, keys)
     return jax.vmap(lambda o, k: _rvs_one(o, M, k, approx))(
         table.coverage > 0, keys)
 
@@ -99,7 +127,7 @@ def _coverage_counts(sel_vids: jax.Array, sel_valid: jax.Array,
 
 def _cas_one(occupied: jax.Array, M: int, key: jax.Array,
              resolution: int, context: int, rounds: int,
-             approx: bool = False):
+             approx: bool = False, sorted_vid: jax.Array | None = None):
     """Batched-greedy CAS: each round pits M distinct challengers against a
     random permutation of incumbents and applies every winning swap at once
     (Jacobi-style — heuristics are evaluated against the round's starting
@@ -115,7 +143,10 @@ def _cas_one(occupied: jax.Array, M: int, key: jax.Array,
     V = occupied.shape[0]
     k_init, k_rounds = jax.random.split(key)
 
-    sel_vids, sel_valid = _rvs_one(occupied, M, k_init, approx=approx)
+    if approx and sorted_vid is not None:
+        sel_vids, sel_valid = _rvs_one_sorted(sorted_vid, V, M, k_init)
+    else:
+        sel_vids, sel_valid = _rvs_one(occupied, M, k_init, approx=approx)
     sel_mask = jnp.zeros((V + 1,), bool).at[
         jnp.where(sel_valid, sel_vids, V)].set(True)
     C = _coverage_counts(sel_vids, sel_valid, resolution, context)  # [V+1]
@@ -179,6 +210,6 @@ def sample_centers_cas(table: VoxelTable, M: int, key: jax.Array,
     sampling for the init and challenger picks (see _cas_one)."""
     B = table.coverage.shape[0]
     keys = jax.random.split(key, B)
-    return jax.vmap(lambda o, k: _cas_one(
-        o, M, k, table.resolution, context, cas_iters, approx=approx))(
-            table.coverage > 0, keys)
+    return jax.vmap(lambda o, k, sv: _cas_one(
+        o, M, k, table.resolution, context, cas_iters, approx=approx,
+        sorted_vid=sv))(table.coverage > 0, keys, table.sorted_vid)

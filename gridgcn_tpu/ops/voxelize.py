@@ -63,6 +63,12 @@ class VoxelTable:
                    this is the coverage weight consumed by GCA attention.
       point_vid:   [B, N] int32 — linear voxel id per input point (V for
                    invalid/padded points). Used by CAS and the upsample query.
+      sorted_vid:  [B, N] int32 — voxel id per point in voxel-sorted order
+                   (a free by-product of the sort-based build). Occupied
+                   voxels are exactly the segment starts of this array, which
+                   lets approx-RVS sample over N points instead of V voxels
+                   (the V-wide cumsum + V-row compaction scatter cost
+                   ~1.6 ms/scene at whole-scene scale).
       origin:      [B, 3] float — minimum corner of the grid.
       vsize:       [B, 3] float — voxel edge lengths.
       resolution:  static int — grid is resolution³ voxels.
@@ -76,6 +82,7 @@ class VoxelTable:
     occupancy: jax.Array
     coverage: jax.Array
     point_vid: jax.Array
+    sorted_vid: jax.Array
     origin: jax.Array
     vsize: jax.Array
     resolution: int = struct.field(pytree_node=False)
@@ -209,7 +216,7 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
         seg_len, unique_indices=True)[:V]
     occupancy = jnp.minimum(coverage, nv)
     return (slots, key_table, coord_table, coord_sums, occupancy, coverage,
-            vid, origin, vsize)
+            vid, sorted_vid, origin, vsize)
 
 
 def build_voxel_table(xyz: jax.Array, mask: jax.Array, resolution: int,
@@ -238,18 +245,18 @@ def build_voxel_table(xyz: jax.Array, mask: jax.Array, resolution: int,
     B, N = xyz.shape[:2]
     rand = jax.random.bits(key, (B, N))   # random per-voxel retention order
     if bounds is not None:
-        slots, ktab, ctab, csum, occ, cov, vid, origin, vsize = jax.vmap(
+        slots, ktab, ctab, csum, occ, cov, vid, svid, origin, vsize = jax.vmap(
             lambda x, m, r, o, vs: _build_one(
                 x, m, r, resolution, nv, with_coords, with_keys, with_slots,
                 origin=o, vsize=vs))(xyz, mask, rand, bounds[0], bounds[1])
     else:
-        slots, ktab, ctab, csum, occ, cov, vid, origin, vsize = jax.vmap(
+        slots, ktab, ctab, csum, occ, cov, vid, svid, origin, vsize = jax.vmap(
             lambda x, m, r: _build_one(x, m, r, resolution, nv, with_coords,
                                        with_keys, with_slots))(xyz, mask, rand)
     return VoxelTable(slots=slots, key_table=ktab, coord_table=ctab,
                       coord_sums=csum, occupancy=occ, coverage=cov,
-                      point_vid=vid, origin=origin, vsize=vsize,
-                      resolution=resolution, nv=nv)
+                      point_vid=vid, sorted_vid=svid, origin=origin,
+                      vsize=vsize, resolution=resolution, nv=nv)
 
 
 def capacity_stats(table: VoxelTable) -> dict:
