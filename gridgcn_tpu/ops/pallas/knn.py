@@ -92,7 +92,7 @@ def _knn_kernel(q_ref, s_ref, out_d_ref, out_i_ref, key_ref, *,
                                         jnp.float32)[:, 0]
 
 
-def _knn_kernel_mxu(qb_ref, s_ref, sn_ref, out_d_ref, out_i_ref, *,
+def _knn_kernel_mxu(qb_ref, s_ref, sn_ref, out_ref, *,
                     k: int, idx_bits: int, sb: int):
     """MXU + lane-fold variant (v4): the ENTIRE distance rides the MXU.
 
@@ -114,7 +114,12 @@ def _knn_kernel_mxu(qb_ref, s_ref, sn_ref, out_d_ref, out_i_ref, *,
     a lane with a nearer winner (~2.3% per pair at Ns=8192 → the (j+1)-th
     stands in), which is tighter than approx_min_k's ~0.95 recall.
     VPU work drops from ~16 full-tile passes (exact kernel) to 3 ops/element
-    (pack key: and+or; fold: min)."""
+    (pack key: and+or; fold: min).
+
+    The k winners leave the kernel as ONE packed [QT, k] int32 output
+    (d²-bits | index) — emitting the full [QT, 128] fold cost ~84 MB of
+    HBM output buffers at whole-scene scale, whose XLA-side slicing and
+    relayout showed up as ~1.5 ms of copies and DMA-wait gaps in traces."""
     qt = qb_ref.shape[0]
     ns_pad = s_ref.shape[1]
     low_mask = (1 << idx_bits) - 1
@@ -135,11 +140,8 @@ def _knn_kernel_mxu(qb_ref, s_ref, sn_ref, out_d_ref, out_i_ref, *,
         cand = fold
         for w in winners:
             cand = jnp.where(cand == w, jnp.int32(0x7FFFFFFF), cand)
-        m = jnp.min(cand, axis=-1, keepdims=True)            # [QT, 1]
-        winners.append(m)
-        out_i_ref[:, j] = (m & low_mask)[:, 0]
-        out_d_ref[:, j] = pltpu.bitcast(m & jnp.int32(~low_mask),
-                                        jnp.float32)[:, 0]
+        winners.append(jnp.min(cand, axis=-1, keepdims=True))  # [QT, 1]
+    out_ref[:, :] = jnp.concatenate(winners, axis=1)           # [QT, k]
 
 
 def flash_knn_mxu(q_xyz: jax.Array, q_mask: jax.Array, s_xyz: jax.Array,
@@ -190,7 +192,8 @@ def flash_knn_mxu(q_xyz: jax.Array, q_mask: jax.Array, s_xyz: jax.Array,
         (8, ns_pad))
 
     idx_bits = max(1, int(ns_pad - 1).bit_length())
-    out_d, out_i = pl.pallas_call(
+    low_mask = (1 << idx_bits) - 1
+    keys = pl.pallas_call(
         functools.partial(_knn_kernel_mxu, k=k, idx_bits=idx_bits, sb=sb),
         grid=(nq_pad // qt,),
         in_specs=[
@@ -201,21 +204,15 @@ def flash_knn_mxu(q_xyz: jax.Array, q_mask: jax.Array, s_xyz: jax.Array,
             pl.BlockSpec((8, ns_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((qt, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((qt, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nq_pad, 128), jnp.float32),
-            jax.ShapeDtypeStruct((nq_pad, 128), jnp.int32),
-        ),
+        out_specs=pl.BlockSpec((qt, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nq_pad, k), jnp.int32),
         interpret=interpret,
-    )(qb, s, sn)
+    )(qb, s, sn)[:Nq]
 
-    d2 = jnp.maximum(out_d[:Nq, :k] - 1.0, 0.0)   # undo the +1 offset
-    idx = jnp.minimum(out_i[:Nq, :k], max(Ns - 1, 0))
+    d2 = jnp.maximum(jax.lax.bitcast_convert_type(
+        keys & jnp.int32(~low_mask), jnp.float32) - 1.0, 0.0)
+    idx = jnp.minimum(keys & low_mask, max(Ns - 1, 0))
     valid = (d2 < _BIG * 0.5) & q_mask[:, None]
     return d2, idx, valid
 
