@@ -60,8 +60,8 @@ class GroupedNodes:
     cand_valid: jax.Array | None = None   # (return_candidates=True only)
 
 
-def _gather_one(slots, key_table, coord_sums, occupancy, coverage, xyz,
-                center_vids, center_valid, key, resolution: int, K: int,
+def _gather_one(slots, key_table, coord_csum, seg_pos, occupancy, coverage,
+                xyz, center_vids, center_valid, key, resolution: int, K: int,
                 context: int, center_mode: str, origin, vsize,
                 approx: bool = False, return_candidates: bool = False,
                 approx_topk: bool = False):
@@ -174,26 +174,41 @@ def _gather_one(slots, key_table, coord_sums, occupancy, coverage, xyz,
     node_xyz = jnp.where(neighbor_mask[..., None], node_xyz, 0.0)
 
     center_xyz = center_positions(
-        coord_sums, occupancy, center_vids, center_valid, resolution,
-        center_mode, origin, vsize)
+        coord_csum, seg_pos, occupancy, center_vids, center_valid,
+        resolution, center_mode, origin, vsize)
     out = (neighbor_idx, neighbor_mask, node_xyz, node_coverage, center_xyz)
     if return_candidates:
         out = out + (jnp.where(cand_valid, cand_idx, 0), cand_valid)
     return out
 
 
-def center_positions(coord_sums, occupancy, center_vids, center_valid,
-                     resolution: int, mode: str, origin, vsize):
+def center_positions(coord_csum, seg_pos, occupancy, center_vids,
+                     center_valid, resolution: int, mode: str, origin, vsize):
     """Group-center positions: stored-point barycenter or geometric voxel
     center (paper §3.1 ambiguity → config flag, SURVEY §2.1 F-02)."""
     V = resolution ** 3
     safe_vid = jnp.where(center_valid, center_vids, V)
     if mode == "barycenter":
-        # three 1-D gathers beat one axis-1 gather of [3, V+1] (profiled)
-        sums = jnp.stack([coord_sums[a][safe_vid] for a in range(3)], -1)
-        cnt = jnp.where(center_valid,
-                        occupancy[jnp.minimum(safe_vid, V - 1)], 0)
-        return sums / jnp.maximum(cnt, 1)[:, None].astype(sums.dtype)
+        # barycenter = voxel center + mean voxel-center residual of the
+        # voxel's stored points, read as a cumsum difference over its
+        # first `occupancy` voxel-sorted rows (voxelize.VoxelTable) —
+        # three [M]-row gathers instead of a grid-wide scatter-add.
+        svc = jnp.minimum(safe_vid, V - 1)
+        cnt = jnp.where(center_valid, occupancy[svc], 0)
+        pos = jnp.where(center_valid, seg_pos[safe_vid], 0)
+        # inclusive cumsum: sum over rows [pos, pos+cnt) = csum[pos+cnt-1]
+        # − csum[pos-1]; the pos==0 / cnt==0 edge rows are masked by
+        # center_valid (cnt ≥ 1 for any valid center)
+        hi_ = coord_csum[jnp.maximum(pos + cnt - 1, 0)]
+        lo_ = jnp.where((pos > 0)[:, None],
+                        coord_csum[jnp.maximum(pos - 1, 0)], 0.0)
+        s_res = hi_ - lo_                                     # [M, 3]
+        cx, cy, cz = vid_to_coords(svc, resolution)
+        vcenter = (jnp.stack([cx, cy, cz], -1).astype(origin.dtype) + 0.5) \
+            * vsize + origin
+        bary = vcenter + s_res / jnp.maximum(cnt, 1)[:, None].astype(
+            coord_csum.dtype)
+        return jnp.where(center_valid[:, None], bary, 0.0)
     elif mode == "voxel_center":
         cx, cy, cz = vid_to_coords(jnp.minimum(center_vids, V - 1), resolution)
         coords = jnp.stack([cx, cy, cz], -1).astype(origin.dtype) + 0.5
@@ -216,12 +231,12 @@ def gather_nodes(table: VoxelTable, xyz: jax.Array, center_vids: jax.Array,
     B = table.coverage.shape[0]
     keys = jax.random.split(key, B)
     outs = jax.vmap(
-        lambda s, kt, cs, oc, c, x, cv, va, k, o, vs: _gather_one(
-            s, kt, cs, oc, c, x, cv, va, k, table.resolution, K, context,
+        lambda s, kt, cs, sp, oc, c, x, cv, va, k, o, vs: _gather_one(
+            s, kt, cs, sp, oc, c, x, cv, va, k, table.resolution, K, context,
             center_mode, o, vs, approx, return_candidates, approx_topk))(
-        table.slots, table.key_table, table.coord_sums, table.occupancy,
-        table.coverage, xyz, center_vids, center_valid, keys,
-        table.origin, table.vsize)
+        table.slots, table.key_table, table.coord_csum, table.seg_pos,
+        table.occupancy, table.coverage, xyz, center_vids, center_valid,
+        keys, table.origin, table.vsize)
     nidx, nmask, nxyz, ncov, cxyz = outs[:5]
     cand_idx, cand_valid = (outs[5], outs[6]) if return_candidates else (None, None)
     return GroupedNodes(neighbor_idx=nidx, neighbor_mask=nmask,

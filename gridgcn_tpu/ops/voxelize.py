@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from gridgcn_tpu.ops.gridutil import vid_to_coords
+
 COORD_SENTINEL = 1e10   # empty-slot coordinate; d2 to it ≈ 1e20
 
 
@@ -56,8 +58,16 @@ class VoxelTable:
                    with `with_coords=True` (the F-05 grid query needs it;
                    F-04 does not — device traces showed its consumption
                    pipeline dominates, see ops/gather.py).
-      coord_sums:  [B, 3, V+1] — per-voxel sums of *stored* point
-                   coordinates (barycenters = sums / occupancy).
+      coord_csum:  [B, N, 3] — INCLUSIVE cumulative sum of voxel-center
+                   RESIDUALS (point − its voxel's center) in voxel-sorted
+                   order. A voxel's stored-coordinate sum is the cumsum
+                   difference over its first `occupancy` sorted rows, so
+                   barycenters need two [M]-row gathers instead of a
+                   colliding [N]-row scatter-add over the grid (~1.5 ms per
+                   whole-scene build). Residuals are bounded by half a
+                   voxel, so the f32 prefix sum carries no cancellation.
+      seg_pos:     [B, V+1] int32 — position of each voxel's first sorted
+                   point (0 for unoccupied; gate with occupancy).
       occupancy:   [B, V] int32 — number of stored points per voxel (≤ nv).
       coverage:    [B, V] int32 — raw number of points per voxel (un-capped);
                    this is the coverage weight consumed by GCA attention.
@@ -78,7 +88,8 @@ class VoxelTable:
     slots: jax.Array | None
     key_table: jax.Array | None
     coord_table: jax.Array | None
-    coord_sums: jax.Array
+    coord_csum: jax.Array
+    seg_pos: jax.Array
     occupancy: jax.Array
     coverage: jax.Array
     point_vid: jax.Array
@@ -188,13 +199,16 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
 
     coords = xyz[sorted_pidx]                                    # [N, 3]
 
-    # per-voxel sums of STORED coordinates (drives barycenters): three
-    # scatter-adds into a [3, V+1] row layout (lane-major, no 3→128
-    # padding). A collision-free variant (unique slot cells + nv-reduce)
-    # profiled SLOWER — the [3, V·nv] buffer traffic exceeds what the
-    # colliding add costs.
-    sum_dest = jnp.where(keep, sorted_vid, V)
-    coord_sums = jnp.zeros((3, V + 1), xyz.dtype).at[:, sum_dest].add(coords.T)
+    # Barycenter inputs (see VoxelTable.coord_csum): prefix sums of
+    # voxel-center residuals in sorted order. Residuals are ≤ vsize/2 per
+    # axis (in-voxel by construction), so the f32 running sum stays
+    # cancellation-free; the old [3, V+1] colliding scatter-add cost
+    # ~1.5 ms/scene (XLA serializes colliding adds).
+    svid_safe = jnp.minimum(sorted_vid, V - 1)
+    sx_, sy_, sz_ = vid_to_coords(svid_safe, resolution)
+    vcenter = (jnp.stack([sx_, sy_, sz_], -1).astype(xyz.dtype) + 0.5) \
+        * vsize + origin
+    coord_csum = jnp.cumsum(coords - vcenter, axis=0)            # [N, 3]
 
     coord_table = None
     if with_coords:
@@ -209,14 +223,18 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
         coord_table = cflat.at[dest3].set(
             vals3, unique_indices=True)[:-1].reshape(V + 1, 3 * nv)
 
-    # raw per-voxel point count from the segment lengths: one scatter-SET of
-    # unique segment starts instead of a colliding [N]-row scatter-add
+    # raw per-voxel point count + first-sorted-row position from the
+    # segment boundaries: two scatter-SETs of unique segment starts instead
+    # of colliding [N]-row scatter-adds. (A single packed [V+1, 2] scatter
+    # profiled ~40% slower than the two 1-D scatters plus needed an unpack.)
     start_dest = jnp.where(is_start & (sorted_vid < V), sorted_vid, V)
     coverage = jnp.zeros((V + 1,), jnp.int32).at[start_dest].set(
         seg_len, unique_indices=True)[:V]
+    seg_pos = jnp.zeros((V + 1,), jnp.int32).at[start_dest].set(
+        seg_start, unique_indices=True)
     occupancy = jnp.minimum(coverage, nv)
-    return (slots, key_table, coord_table, coord_sums, occupancy, coverage,
-            vid, sorted_vid, origin, vsize)
+    return (slots, key_table, coord_table, coord_csum, seg_pos, occupancy,
+            coverage, vid, sorted_vid, origin, vsize)
 
 
 def build_voxel_table(xyz: jax.Array, mask: jax.Array, resolution: int,
@@ -245,18 +263,21 @@ def build_voxel_table(xyz: jax.Array, mask: jax.Array, resolution: int,
     B, N = xyz.shape[:2]
     rand = jax.random.bits(key, (B, N))   # random per-voxel retention order
     if bounds is not None:
-        slots, ktab, ctab, csum, occ, cov, vid, svid, origin, vsize = jax.vmap(
+        (slots, ktab, ctab, csum, spos, occ, cov, vid, svid, origin,
+         vsize) = jax.vmap(
             lambda x, m, r, o, vs: _build_one(
                 x, m, r, resolution, nv, with_coords, with_keys, with_slots,
                 origin=o, vsize=vs))(xyz, mask, rand, bounds[0], bounds[1])
     else:
-        slots, ktab, ctab, csum, occ, cov, vid, svid, origin, vsize = jax.vmap(
+        (slots, ktab, ctab, csum, spos, occ, cov, vid, svid, origin,
+         vsize) = jax.vmap(
             lambda x, m, r: _build_one(x, m, r, resolution, nv, with_coords,
                                        with_keys, with_slots))(xyz, mask, rand)
     return VoxelTable(slots=slots, key_table=ktab, coord_table=ctab,
-                      coord_sums=csum, occupancy=occ, coverage=cov,
-                      point_vid=vid, sorted_vid=svid, origin=origin,
-                      vsize=vsize, resolution=resolution, nv=nv)
+                      coord_csum=csum, seg_pos=spos, occupancy=occ,
+                      coverage=cov, point_vid=vid, sorted_vid=svid,
+                      origin=origin, vsize=vsize, resolution=resolution,
+                      nv=nv)
 
 
 def capacity_stats(table: VoxelTable) -> dict:
