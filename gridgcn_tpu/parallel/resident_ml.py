@@ -1,0 +1,248 @@
+"""F-22 tier 3: multi-layer feature-halo spatially-sharded segmentation.
+
+Tier 2 (`parallel.resident`) shards only the DENSE level and replicates the
+coarse pyramid after one all_gather — right when the coarse levels are small.
+This module is the fully-sharded protocol for scenes whose *every* level
+outgrows one chip: no level is ever assembled anywhere; the mesh exchanges
+fixed-capacity **boundary halos** instead (SURVEY §2.4 F-22 — the point-cloud
+analog of ring attention's rotating KV, paid once per layer):
+
+  encoder, per GridConv level i (all on the GLOBAL voxel grid, explicit
+  bounds, so voxel planes align across shards):
+    * each shard holds its slab's entities + ghost copies of both
+      neighbors' boundary strips;
+    * it samples its share (M_i/D) of centers and keeps those whose
+      position it owns (slab interval test);
+    * two `ppermute`s ship the owned centers within one context-reach of
+      each slab face — positions AND features — into the neighbors' ghost
+      buffers for level i+1. Everything else stays local.
+
+  decoder, per feature-propagation stage (coarse → dense):
+    * each shard interpolates ALL its local entities (owned exact; ghosts
+      recomputed only approximately, since a ghost's own neighborhood is
+      clipped);
+    * a **ghost refresh** then overwrites every ghost's features with the
+      owner's exact values — the owner re-sends the same boundary rows
+      (selection indices were fixed at encode time), so stage n+1 reads
+      exact stage-n features everywhere. Boundary error does not compound.
+
+  3-NN caveat: a query's true k-th nearest support could in principle lie
+  beyond the ghost strip; with ghost width ≥ the coarse grid's context
+  reach this is the same locality assumption the reference's grid-query
+  decoder (gridify_up, SURVEY §2.1 F-05) already makes.
+
+Gradients flow through every ppermute (its transpose is the reverse
+permutation), so `jax.grad` of an owned-masked loss plus the mesh gradient
+psum trains fully resident: no level of the pyramid ever exists whole.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gridgcn_tpu.configs.base import Config
+from gridgcn_tpu.models.segmentation import GridGCNSegmentation
+from gridgcn_tpu.ops.voxelize import grid_bounds
+from gridgcn_tpu.parallel.mesh import DATA_AXIS
+from gridgcn_tpu.parallel.resident import resident_halo
+from gridgcn_tpu.parallel.spatial import partition_scene
+
+
+def _shift(x: jax.Array, axis_name: str, direction: int) -> jax.Array:
+    """ppermute by ±1 along the slab ring; the wrapped end receives zeros."""
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + direction) % n) for i in range(n)]
+    y = jax.lax.ppermute(x, axis_name, perm)
+    wrapped = (idx == 0) if direction == 1 else (idx == n - 1)
+    return jnp.where(wrapped, jnp.zeros_like(y), y)
+
+
+def _band_index(x: jax.Array, sel: jax.Array, H: int):
+    """Indices of up to H selected rows (order preserved): (idx [H], ok [H]).
+
+    Overflowing rows are dropped — ghost capacity is a config choice like
+    every other fixed capacity in this framework (SURVEY §7 H1)."""
+    rank = jnp.cumsum(sel) - 1
+    dest = jnp.where(sel & (rank < H), rank, H)
+    idx = jnp.full((H + 1,), -1, jnp.int32).at[dest].set(
+        jnp.arange(x.shape[0], dtype=jnp.int32), unique_indices=True)[:H]
+    return jnp.maximum(idx, 0), idx >= 0
+
+
+def _take(arr: jax.Array, idx: jax.Array, ok: jax.Array) -> jax.Array:
+    out = arr[idx]
+    return jnp.where(ok[(...,) + (None,) * (out.ndim - 1)], out, 0)
+
+
+def exchange_boundary(xyz, feat, valid, lo, hi, width, H, axis_name):
+    """Ship owned boundary entities to both slab neighbors.
+
+    xyz [M, 3], feat [M, C], valid [M] are this shard's OWNED level
+    entities; [lo, hi) its slab interval on the partition axis. Returns
+      (g_xyz [2H, 3], g_feat [2H, C], g_valid [2H],
+       send [(idx_r, ok_r), (idx_l, ok_l)])
+    — ghosts received from the left and right neighbors, plus the send
+    selections (fixed row layout) that `refresh_ghosts` reuses so decoder
+    updates land in the same ghost slots."""
+    x = xyz[:, 0]
+    idx_r, ok_r = _band_index(x, valid & (x >= hi - width), H)  # → right
+    idx_l, ok_l = _band_index(x, valid & (x < lo + width), H)   # → left
+    parts = []
+    for direction, (idx, ok) in ((1, (idx_r, ok_r)), (-1, (idx_l, ok_l))):
+        g_xyz = _shift(_take(xyz, idx, ok), axis_name, direction)
+        g_feat = _shift(_take(feat, idx, ok), axis_name, direction)
+        g_ok = _shift(ok, axis_name, direction)
+        parts.append((g_xyz, g_feat, g_ok))
+    (lx, lf, lv), (rx, rf, rv) = parts   # from left neighbor, from right
+    return (jnp.concatenate([lx, rx]), jnp.concatenate([lf, rf]),
+            jnp.concatenate([lv, rv]), ((idx_r, ok_r), (idx_l, ok_l)))
+
+
+def refresh_ghosts(feat_own, send, axis_name):
+    """Re-send updated features of the SAME boundary rows; returns the
+    refreshed ghost feature block [2H, C] (left-neighbor rows first,
+    matching exchange_boundary's concat order)."""
+    (idx_r, ok_r), (idx_l, ok_l) = send
+    lf = _shift(_take(feat_own, idx_r, ok_r), axis_name, 1)
+    rf = _shift(_take(feat_own, idx_l, ok_l), axis_name, -1)
+    return jnp.concatenate([lf, rf])
+
+
+def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap: int = 0,
+                             axis_name: str = DATA_AXIS):
+    """Build the jitted fully-sharded multi-level forward.
+
+    Returns fwd(variables, shard_xyz [D,cap,3], shard_mask [D,cap],
+                edges [D+1], origin [3], extent [3], rng)
+              -> logits [D, cap, num_classes]
+    with the leading axis sharded over `axis_name`; ghost-point logits are
+    meaningless (mask with `owned`). `ghost_cap` = per-face ghost buffer
+    rows per level (default: half the shard's center share).
+    """
+    if cfg.model.task != "seg":
+        raise ValueError("resident-ml forward is for segmentation models")
+    if cfg.model.in_channels:
+        raise ValueError("resident-ml forward supports xyz-only input (v1)")
+    n_layers = len(cfg.model.layers)
+    D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    # every layer samples its share M_i/D of centers (tier 2 divides only
+    # layer 0 — here the whole pyramid is sharded)
+    for i, l in enumerate(cfg.model.layers):
+        if l.n_centers % D:
+            raise ValueError(f"layers[{i}].n_centers={l.n_centers} not "
+                             f"divisible by {D} shards")
+    layers = tuple(dataclasses.replace(l, n_centers=l.n_centers // D)
+                   for l in cfg.model.layers)
+    model = GridGCNSegmentation(cfg=dataclasses.replace(
+        cfg.model, layers=layers))
+    specs = model.cfg.layers
+
+    def shard_fn(variables, sx, sm, edges, origin, extent, rng):
+        d = jax.lax.axis_index(axis_name)
+        lo, hi = edges[d], edges[d + 1]
+        rngs = lambda i: {"cagq": jax.random.fold_in(
+            jax.random.fold_in(rng, i), d)}
+
+        def bounds_for(spec):
+            vsize = extent * (1.0 + 1e-5) / spec.resolution
+            return (origin[None], vsize[None]), vsize
+
+        def reach(spec, vsize):
+            return (spec.context // 2 + 1) * jnp.max(vsize)
+
+        feat0 = sx if cfg.model.use_xyz_feature else None
+        # level state: (xyz [1,Ci,3], feat, valid, owned, send or None)
+        levels = [(sx, feat0, sm[0], sm[0] & (sx[0, :, 0] >= lo)
+                   & (sx[0, :, 0] < hi), None)]
+
+        xyz, feat, valid = sx, feat0, sm
+        for i in range(n_layers):
+            bounds, vsize = bounds_for(specs[i])
+            c_xyz, c_feat, c_valid = model.apply(
+                variables, i, xyz, feat, valid, False, bounds,
+                method="encode_layer", rngs=rngs(i))
+            cx = c_xyz[0, :, 0]
+            own = c_valid[0] & (cx >= lo) & (cx < hi)
+
+            if i + 1 < n_layers:
+                _, next_vsize = bounds_for(specs[i + 1])
+                width = reach(specs[i + 1], next_vsize)
+            else:
+                # last level still feeds the first decode stage as support
+                width = reach(specs[i], vsize)
+            H = ghost_cap or max(8, specs[i].n_centers // 2)
+            g_xyz, g_feat, g_ok, send = exchange_boundary(
+                c_xyz[0], c_feat[0], own, lo, hi, width, H, axis_name)
+
+            xyz = jnp.concatenate([c_xyz[0], g_xyz])[None]
+            feat = jnp.concatenate([c_feat[0], g_feat])[None]
+            valid = jnp.concatenate([own, g_ok])[None]
+            owned = jnp.concatenate([own, jnp.zeros_like(g_ok)])
+            levels.append((xyz, feat, valid[0], owned, send))
+
+        # ---- decoder: interpolate locally, then refresh ghosts ----
+        c_xyz, c_feat = levels[-1][0], levels[-1][1]
+        c_mask = levels[-1][2][None]
+        for i in range(n_layers):
+            d_xyz, d_feat, d_valid, d_owned, d_send = levels[-2 - i]
+            new_feat = model.apply(
+                variables, i, c_xyz, c_feat, c_mask,
+                d_xyz, d_feat, d_valid[None], False,
+                method="decode_stage", rngs=rngs(100 + i))
+            if d_send is not None:
+                # own rows precede the 2H ghost rows by construction;
+                # overwrite ghost features with the owners' exact values
+                H = d_send[0][0].shape[0]
+                own_feat = new_feat[0, : new_feat.shape[1] - 2 * H]
+                g_new = refresh_ghosts(own_feat, d_send, axis_name)
+                new_feat = jnp.concatenate([own_feat, g_new])[None]
+            c_xyz, c_feat, c_mask = d_xyz, new_feat, d_valid[None]
+
+        return model.apply(variables, c_feat, False, method="head_logits")
+
+    fwd = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), P(), P(), P(), P()),
+        out_specs=P(axis_name),
+        check_vma=False)
+    return jax.jit(fwd)
+
+
+def resident_ml_seg_predict(cfg: Config, variables, xyz: np.ndarray,
+                            mask: np.ndarray, mesh: Mesh, capacity: int,
+                            rng: Optional[jax.Array] = None,
+                            ghost_cap: int = 0, fwd=None) -> np.ndarray:
+    """Whole-scene per-point logits with EVERY level sharded over the mesh.
+    xyz [N, 3], mask [N] → logits [N, num_classes] (zeros for invalid)."""
+    D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    res0 = cfg.model.layers[0].resolution
+
+    origin, vsize = grid_bounds(jnp.asarray(xyz)[None],
+                                jnp.asarray(mask)[None], res0)
+    origin = np.asarray(origin)[0]
+    extent = np.asarray(vsize)[0] * res0 / (1.0 + 1e-5)
+
+    sx, sm, owned, sidx, edges = partition_scene(
+        xyz, mask, D, resident_halo(cfg, np.asarray(vsize)[0]), capacity)
+
+    if fwd is None:
+        fwd = make_resident_ml_forward(cfg, mesh, ghost_cap=ghost_cap)
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    variables = jax.device_put(variables, NamedSharding(mesh, P()))
+    logits = np.asarray(jax.device_get(fwd(
+        variables, jax.device_put(sx, sh), jax.device_put(sm, sh),
+        jnp.asarray(edges), jnp.asarray(origin), jnp.asarray(extent), rng)))
+
+    C = logits.shape[-1]
+    out = np.zeros((xyz.shape[0], C), logits.dtype)
+    flat_owned = owned.reshape(-1)
+    out[sidx.reshape(-1)[flat_owned]] = logits.reshape(-1, C)[flat_owned]
+    return out

@@ -74,7 +74,8 @@ def evaluate(ckpt_dir: str, latency: bool = False, log_path=None):
 
 
 def evaluate_whole_scenes(ckpt_dir: str, votes: int = 3, mesh_devices: int = 0,
-                          resident: bool = False, log_path=None):
+                          resident: bool = False, resident_ml: bool = False,
+                          log_path=None):
     """Whole-scene segmentation eval (SURVEY §3.4): every scene is fed at
     full size (optionally spatially sharded across the mesh) `votes` times
     with different CAGQ keys; per-point logits are averaged (the reference's
@@ -110,13 +111,19 @@ def evaluate_whole_scenes(ckpt_dir: str, votes: int = 3, mesh_devices: int = 0,
     fwd_sharded = jax.jit(lambda x, m, k: model.apply(
         variables, x, None, m, train=False, rngs={"cagq": k}))
     fwd_resident = None
-    if resident and mesh is None:
-        raise ValueError("--resident requires --mesh N (a device mesh to "
-                         "shard the dense level over)")
-    if resident:
+    if (resident or resident_ml) and mesh is None:
+        raise ValueError("--resident/--resident-ml require --mesh N (a "
+                         "device mesh to shard over)")
+    if resident_ml:
+        from gridgcn_tpu.parallel.resident_ml import (
+            make_resident_ml_forward, resident_ml_seg_predict)
+        fwd_resident = make_resident_ml_forward(cfg, mesh)
+        predict_resident = resident_ml_seg_predict
+    elif resident:
         from gridgcn_tpu.parallel.resident import (
             make_resident_forward, resident_seg_predict)
         fwd_resident = make_resident_forward(cfg, mesh)
+        predict_resident = resident_seg_predict
 
     for s in range(val_ds.size):
         xyz = val_ds.points[s]
@@ -126,7 +133,7 @@ def evaluate_whole_scenes(ckpt_dir: str, votes: int = 3, mesh_devices: int = 0,
         for v in range(votes):
             key = jax.random.PRNGKey(1000 * s + v)
             if fwd_resident is not None:
-                logits = resident_seg_predict(
+                logits = predict_resident(
                     cfg, variables, xyz, mask, mesh,
                     capacity=xyz.shape[0], rng=key, fwd=fwd_resident)
             elif mesh is not None:
@@ -168,12 +175,18 @@ def main(argv=None):
                    help="with --mesh: fully-resident sharding (dense level "
                         "sharded, coarse pyramid replicated after one "
                         "all_gather) instead of per-slab re-runs")
+    p.add_argument("--resident-ml", action="store_true",
+                   help="with --mesh: multi-layer feature-halo sharding — "
+                        "EVERY pyramid level stays sharded; boundary halos "
+                        "ride ppermute between layers (F-22 tier 3)")
     p.add_argument("--log", default=None)
     args = p.parse_args(argv)
     if args.whole_scene:
         evaluate_whole_scenes(args.ckpt_dir, votes=args.votes,
                               mesh_devices=args.mesh,
-                              resident=args.resident, log_path=args.log)
+                              resident=args.resident,
+                              resident_ml=args.resident_ml,
+                              log_path=args.log)
     else:
         evaluate(args.ckpt_dir, latency=args.latency, log_path=args.log)
 

@@ -170,3 +170,119 @@ def test_resident_forward_trainable():
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(bool(jnp.isfinite(g).all()) for g in leaves)
     assert any(float(jnp.abs(g).sum()) > 0 for g in leaves)
+
+
+def test_exchange_boundary_ships_band_rows():
+    """F-22 tier 3: owned rows within `width` of a slab face arrive in the
+    neighbor's ghost buffer (left-neighbor rows first), ends zeroed."""
+    from jax import shard_map
+    from gridgcn_tpu.parallel.resident_ml import exchange_boundary
+
+    mesh = make_mesh(4)
+    M, H, C = 16, 4, 2
+    # shard d owns [d, d+1); one point at d+0.05 (left band), one at
+    # d+0.95 (right band), rest mid-slab
+    xs = []
+    for d in range(4):
+        x = np.full((M,), d + 0.5, np.float32)
+        x[0], x[1] = d + 0.05, d + 0.95
+        xs.append(x)
+    xyz = np.zeros((4, M, 3), np.float32)
+    xyz[:, :, 0] = np.stack(xs)
+    feat = np.arange(4 * M * C, dtype=np.float32).reshape(4, M, C)
+    valid = np.ones((4, M), bool)
+    edges = jnp.arange(5, dtype=jnp.float32)
+
+    def f(x, ft, v, e):
+        d = jax.lax.axis_index(DATA_AXIS)
+        g_xyz, g_feat, g_ok, _ = exchange_boundary(
+            x[0], ft[0], v[0], e[d], e[d + 1], 0.2, H, DATA_AXIS)
+        return g_xyz[None], g_feat[None], g_ok[None]
+
+    g_xyz, g_feat, g_ok = jax.jit(shard_map(
+        f, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(P(DATA_AXIS),) * 3))(xyz, feat, valid, edges)
+    g_xyz, g_feat, g_ok = map(np.asarray, (g_xyz, g_feat, g_ok))
+
+    for d in range(4):
+        left, right = g_ok[d, :H], g_ok[d, H:]
+        if d > 0:   # left neighbor's right-band point (x = d-1+0.95)
+            assert left.sum() == 1
+            np.testing.assert_allclose(g_xyz[d, :H][left][0, 0], d - 0.05)
+            np.testing.assert_allclose(g_feat[d, :H][left][0],
+                                       feat[d - 1, 1])
+        else:
+            assert left.sum() == 0
+        if d < 3:   # right neighbor's left-band point (x = d+1+0.05)
+            assert right.sum() == 1
+            np.testing.assert_allclose(g_xyz[d, H:][right][0, 0],
+                                       d + 1.05)
+            np.testing.assert_allclose(g_feat[d, H:][right][0],
+                                       feat[d + 1, 0])
+        else:
+            assert right.sum() == 0
+
+
+def test_resident_ml_forward_covers_and_is_finite():
+    """F-22 tier 3: fully-sharded multi-level forward — every owned valid
+    point gets a finite prediction, stitched in original order."""
+    from gridgcn_tpu.parallel.resident_ml import resident_ml_seg_predict
+
+    cfg = presets.get("synthetic_tiny_seg")   # 64/16 centers, % 4 == 0
+    _, variables = init_model(cfg)
+    mesh = make_mesh(4)
+
+    rng = np.random.default_rng(5)
+    N = 512
+    xyz = rng.uniform(0, 8, size=(N, 3)).astype(np.float32)
+    mask = np.ones(N, bool)
+    mask[480:] = False
+
+    logits = resident_ml_seg_predict(cfg, variables, xyz, mask, mesh,
+                                     capacity=N, rng=jax.random.PRNGKey(7))
+    assert logits.shape == (N, cfg.model.num_classes)
+    assert np.isfinite(logits).all()
+    assert (np.abs(logits[:480]).sum(-1) > 0).mean() > 0.99
+    assert np.abs(logits[480:]).sum() == 0.0
+
+
+def test_resident_ml_forward_trainable():
+    """Gradients flow through the per-layer ppermute halo exchanges."""
+    from jax.sharding import NamedSharding
+    from gridgcn_tpu.ops.voxelize import grid_bounds
+    from gridgcn_tpu.parallel.resident import resident_halo
+    from gridgcn_tpu.parallel.resident_ml import make_resident_ml_forward
+
+    cfg = presets.get("synthetic_tiny_seg")
+    _, variables = init_model(cfg)
+    mesh = make_mesh(4)
+    fwd = make_resident_ml_forward(cfg, mesh)
+
+    rng = np.random.default_rng(6)
+    N = 256
+    xyz = rng.uniform(0, 8, size=(N, 3)).astype(np.float32)
+    mask = np.ones(N, bool)
+    origin, vsize = grid_bounds(jnp.asarray(xyz)[None],
+                                jnp.asarray(mask)[None],
+                                cfg.model.layers[0].resolution)
+    extent = np.asarray(vsize)[0] * cfg.model.layers[0].resolution \
+        / (1.0 + 1e-5)
+    sx, sm, owned, _, edges = partition_scene(
+        xyz, mask, 4, resident_halo(cfg, np.asarray(vsize)[0]), capacity=N)
+
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    sxd, smd = jax.device_put(sx, sh), jax.device_put(sm, sh)
+    key = jax.random.PRNGKey(0)
+
+    def loss(params):
+        v = {**variables, "params": params}
+        logits = fwd(v, sxd, smd, jnp.asarray(edges),
+                     jnp.asarray(origin)[0], jnp.asarray(extent), key)
+        return jnp.sum(jnp.where(jnp.asarray(owned)[..., None],
+                                 logits.astype(jnp.float32) ** 2, 0.0))
+
+    grads = jax.grad(loss)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.isfinite(g).all()) for g in leaves)
+    assert any(float(jnp.abs(g).sum()) > 0 for g in leaves)
