@@ -175,7 +175,10 @@ def bench_cagq_vs_fps(iters: int):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch-size", type=int, default=1)
-    p.add_argument("--iters", type=int, default=10)
+    # 20+: each launch through a tunneled backend carries ~1.1 ms dispatch
+    # and the final scalar fetch ~25-35 ms; at iters=10 that residue reads
+    # ~0.5-1 ms/scene high (docs/design.md §7)
+    p.add_argument("--iters", type=int, default=20)
     p.add_argument("--knn", default="auto",
                    choices=["auto", "dense", "pallas", "grid"])
     p.add_argument("--skip-modelnet", action="store_true")
