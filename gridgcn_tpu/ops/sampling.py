@@ -117,10 +117,13 @@ def _coverage_counts(sel_vids: jax.Array, sel_valid: jax.Array,
     """C_u: number of selected voxels whose context covers voxel u. [V+1].
 
     One [M]-row scatter of the selected-voxel one-hot counts, then the
-    context³ box stencil — instead of an [M, context³]-row scatter."""
+    context³ box stencil — instead of an [M, context³]-row scatter.
+    sel_vids are distinct, so the scatter is a unique-index SET (collisions
+    only at the discarded sentinel cell V) — XLA serializes colliding adds
+    (~10× slower at scannet_seg scale, profiled)."""
     V = resolution ** 3
     sel = jnp.zeros((V + 1,), jnp.int32).at[
-        jnp.where(sel_valid, sel_vids, V)].add(1)
+        jnp.where(sel_valid, sel_vids, V)].set(1, unique_indices=True)
     return jnp.concatenate(
         [_box_sum(sel[:V], resolution, context), jnp.zeros((1,), jnp.int32)])
 
@@ -180,16 +183,25 @@ def _cas_one(occupied: jax.Array, M: int, key: jax.Array,
         h_rmv = once3[jnp.minimum(inc, V - 1)]
         swap = chal_ok & inc_valid & (h_add > h_rmv)
 
-        sel_vids = sel_vids.at[slot].set(jnp.where(swap, chal, inc))
-        sel_mask = sel_mask.at[jnp.where(swap, chal, V)].set(True)
-        sel_mask = sel_mask.at[jnp.where(swap, inc, V)].set(False)
+        # all scatters below have UNIQUE destinations (slot is a
+        # permutation; winning challengers are distinct unselected voxels,
+        # their incumbents distinct selected ones — disjoint sets; losers
+        # collapse onto the discarded sentinel cell V), so they take XLA's
+        # no-collision scatter path — the colliding-add form serialized at
+        # ~5 M rows/s and cost ~3 ms/step at scannet_seg scale (profiled)
+        sel_vids = sel_vids.at[slot].set(jnp.where(swap, chal, inc),
+                                         unique_indices=True)
+        sel_mask = sel_mask.at[jnp.where(swap, chal, V)].set(
+            True, unique_indices=True)
+        sel_mask = sel_mask.at[jnp.where(swap, inc, V)].set(
+            False, unique_indices=True)
         # coverage update = box stencil of the swap deltas: two [M]-row
         # one-hot scatters + O(V) stencil work, instead of two
         # [M, context³]-row scatters (the dominant CAS cost at M≥512)
-        dswap = swap.astype(jnp.int32)
         delta = (jnp.zeros((V + 1,), jnp.int32)
-                 .at[jnp.where(swap, chal, V)].add(dswap)
-                 .at[jnp.where(swap, inc, V)].add(-dswap))[:V]
+                 .at[jnp.where(swap, chal, V)].set(1, unique_indices=True)
+                 .at[jnp.where(swap, inc, V)].set(-1,
+                                                  unique_indices=True))[:V]
         C = C.at[:V].add(_box_sum(delta, resolution, context))
         return (sel_vids, sel_valid, sel_mask, C), None
 

