@@ -111,3 +111,38 @@ def test_rotation_voting_eval(tiny_setup):
     cm1 = np.asarray(make_voting_eval_step(cfg, model, votes=1)(
         state, batch, rng))
     assert cm1.sum() == cfg.data.batch_size
+
+
+def test_generalization_synthetic():
+    """Accuracy gate beyond overfit (SURVEY §4.2 #4): train on the
+    synthetic shape-class TRAIN split (seed 0), evaluate on the held-out
+    TEST split (seed 1) — the learned features must transfer to clouds the
+    model never saw, well above the 4-class chance rate."""
+    from gridgcn_tpu.train.metrics import summarize_confusion
+
+    cfg = presets.get("synthetic_tiny")
+    model, variables = init_model(cfg)
+    train_ds = make_dataset(cfg.data, "train", cfg.model.num_classes, "cls")
+    test_ds = make_dataset(cfg.data, "test", cfg.model.num_classes, "cls")
+    assert not np.array_equal(train_ds.points[0], test_ds.points[0])
+
+    state = create_train_state(cfg, model, variables,
+                               train_ds.steps_per_epoch(cfg.data.batch_size))
+    step = make_train_step(cfg, model, donate=False)
+    rng = jax.random.PRNGKey(0)
+    i = 0
+    for epoch in range(6):
+        for batch in train_ds.batches(cfg.data.batch_size, seed=epoch):
+            state, _ = step(state, {k: jnp.asarray(v)
+                                    for k, v in batch.items()},
+                            jax.random.fold_in(rng, i))
+            i += 1
+
+    eval_step = make_eval_step(cfg, model)
+    cm = jnp.zeros((cfg.model.num_classes,) * 2, jnp.int32)
+    for batch in test_ds.batches(cfg.data.batch_size, seed=0,
+                                 shuffle=False, drop_last=False):
+        cm = cm + eval_step(state, {k: jnp.asarray(v)
+                                    for k, v in batch.items()}, rng)
+    oa = float(summarize_confusion(cm)["overall_acc"])
+    assert oa >= 0.7, f"held-out overall accuracy {oa:.3f} < 0.7"
