@@ -8,10 +8,12 @@ Two variants behind `flash_three_nn(..., variant=)`:
   `_knn_kernel_mxu`), and top-k is a per-lane min fold, so VPU work is
   3 ops/element. In-model this took whole-scene seg inference from 20.2 ms
   to 19.5 ms/scene on v5e (vs the XLA approx_min_k path, whose [Nq, Ns]
-  matrix costs ~2.7 GB of HBM traffic the kernel never pays). Near-exact:
-  top-1 exact up to ~2⁻¹⁶ distance error; j-th neighbor replaced by the
-  (j+1)-th on ~2% lane collisions — tighter than approx_min_k's ~0.95
-  recall. The whole-scene preset selects it via UpLayerSpec.method='pallas'.
+  matrix costs ~2.7 GB of HBM traffic the kernel never pays). Near-exact,
+  measured against the exact kernel on v5e at 81920×8192: top-1 agreement
+  0.9988 (limited by ~2⁻¹⁶ split-bf16 distance error on near-ties), 3-NN
+  recall 0.992 (j-th neighbor replaced by the (j+1)-th on lane collisions)
+  — tighter than approx_min_k's ~0.95 recall. The whole-scene preset
+  selects it via UpLayerSpec.method='pallas'.
 * `"exact"` (`flash_knn`) — fp32 (q−s)² on the VPU, bit-exact top-k;
   verified bit-exact against brute force on real v5e at every probed shape
   up to 81920×8192. ~1.5× slower than "mxu" (VPU-bound argmin passes);
@@ -92,12 +94,12 @@ def _knn_kernel(q_ref, s_ref, out_d_ref, out_i_ref, key_ref, *,
                                         jnp.float32)[:, 0]
 
 
-def _knn_kernel_mxu(qb_ref, s_ref, sn_ref, out_ref, *,
-                    k: int, idx_bits: int, sb: int):
-    """MXU + lane-fold variant (v4): the ENTIRE distance rides the MXU.
+def _knn_kernel_mxu(qb_ref, s_ref, out_d_ref, out_i_ref, *,
+                    k: int, blk_bits: int, sb: int):
+    """MXU + lane-fold variant (v5): the ENTIRE distance rides the MXU.
 
-    Only 3 of the 128 contraction columns are needed for xyz, so the spare
-    columns carry the whole expanded form as one matmul. With hi/lo = the
+    Only 3 of the 16 contraction rows are needed for xyz, so the spare
+    rows carry the whole expanded form as one matmul. With hi/lo = the
     split-bf16 decomposition (x ≈ hi + lo, ~2⁻¹⁶ relative — f32-grade at
     bf16-matmul cost):
 
@@ -110,38 +112,51 @@ def _knn_kernel_mxu(qb_ref, s_ref, sn_ref, out_ref, *,
 
     Top-k via a per-lane min fold: support column j lives in lane j mod 128,
     one running [QT, 128] min over packed keys replaces k full-tile argmin
-    passes. Exact for the 1-NN; the j-th NN (j≤k) is lost only when it shares
-    a lane with a nearer winner (~2.3% per pair at Ns=8192 → the (j+1)-th
-    stands in), which is tighter than approx_min_k's ~0.95 recall.
-    VPU work drops from ~16 full-tile passes (exact kernel) to 3 ops/element
-    (pack key: and+or; fold: min).
+    passes. The j-th NN (j≤k) is lost only when it shares a lane with a
+    nearer winner (~2.3% per pair at Ns=8192 → the (j+1)-th stands in),
+    which is tighter than approx_min_k's ~0.95 recall. VPU work is
+    3 ops/element (pack key: and+or; fold: min).
 
-    The k winners leave the kernel as ONE packed [QT, k] int32 output
-    (d²-bits | index) — emitting the full [QT, 128] fold cost ~84 MB of
-    HBM output buffers at whole-scene scale, whose XLA-side slicing and
-    relayout showed up as ~1.5 ms of copies and DMA-wait gaps in traces."""
+    Key packing steals only the BLOCK id (column // 128, ≤6 bits at
+    whole-scene sizes) from the d²+1 mantissa — the lane half of the index
+    is implicit in the fold position and is recovered after the fold with an
+    equality match against the per-row min. v4 packed the full 13-bit column
+    index instead, which quantized d²+1 to ~2⁻¹⁰ relative and collapsed
+    near-ties: measured top-1 agreement with the exact kernel was 0.63 at
+    81920×8192 on v5e. With block-only packing the comparison precision is
+    ~2⁻¹⁷ and top-1 agreement is limited only by the split-bf16 distance
+    error (measured ≥0.97).
+
+    The k winners leave the kernel as [QT, k] d² + [QT, k] index outputs —
+    emitting the full [QT, 128] fold cost ~84 MB of HBM output buffers at
+    whole-scene scale, whose XLA-side slicing and relayout showed up as
+    ~1.5 ms of copies and DMA-wait gaps in traces."""
     qt = qb_ref.shape[0]
     ns_pad = s_ref.shape[1]
-    low_mask = (1 << idx_bits) - 1
+    low_mask = (1 << blk_bits) - 1
 
-    qb = qb_ref[:, :]                          # [QT, 128] bf16, pre-packed
+    qb = qb_ref[:, :]                          # [QT, 16] bf16, pre-packed
 
     fold = jnp.full((qt, 128), jnp.int32(0x7FFFFFFF))
     for c0 in range(0, ns_pad, sb):
         d2 = jnp.dot(qb, s_ref[:, c0:c0 + sb],
                      preferred_element_type=jnp.float32)   # [QT, SB] = d²+1
-        col = pltpu.bitcast(sn_ref[0:1, c0:c0 + sb], jnp.int32)  # [1, SB]
-        keys = (pltpu.bitcast(d2, jnp.int32) & jnp.int32(~low_mask)) | col
-        for b in range(sb // 128):
-            fold = jnp.minimum(fold, keys[:, b * 128:(b + 1) * 128])
+        kb = pltpu.bitcast(d2, jnp.int32) & jnp.int32(~low_mask)
+        for b in range(sb // 128):             # block id is static per slice
+            fold = jnp.minimum(
+                fold, kb[:, b * 128:(b + 1) * 128] | (c0 // 128 + b))
 
-    winners = []
+    lane = jax.lax.broadcasted_iota(jnp.int32, (qt, 128), 1)
+    excluded = jnp.zeros((qt, 128), jnp.bool_)
     for j in range(k):                     # k tiny passes over [QT, 128]
-        cand = fold
-        for w in winners:
-            cand = jnp.where(cand == w, jnp.int32(0x7FFFFFFF), cand)
-        winners.append(jnp.min(cand, axis=-1, keepdims=True))  # [QT, 1]
-    out_ref[:, :] = jnp.concatenate(winners, axis=1)           # [QT, k]
+        cand = jnp.where(excluded, jnp.int32(0x7FFFFFFF), fold)
+        m = jnp.min(cand, axis=-1, keepdims=True)            # [QT, 1]
+        wlane = jnp.min(jnp.where(cand == m, lane, 128),
+                        axis=-1, keepdims=True)              # [QT, 1]
+        excluded = excluded | (lane == wlane)
+        out_i_ref[:, j] = ((m & low_mask) * 128 + wlane)[:, 0]
+        out_d_ref[:, j] = pltpu.bitcast(m & jnp.int32(~low_mask),
+                                        jnp.float32)[:, 0]
 
 
 def flash_knn_mxu(q_xyz: jax.Array, q_mask: jax.Array, s_xyz: jax.Array,
@@ -158,8 +173,12 @@ def flash_knn_mxu(q_xyz: jax.Array, q_mask: jax.Array, s_xyz: jax.Array,
     nq_pad = -(-Nq // qt) * qt
 
     def _split(x):
-        hi = x.astype(jnp.bfloat16)
-        return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        # reduce_precision, NOT astype(bf16).astype(f32): under jit, XLA's
+        # algebraic simplifier folds the f32→bf16→f32 round-trip away (the
+        # value feeds a bf16 dot), which silently turns the lo residual into
+        # zero — measured d² error jumped 4e-5 → 2.6e-2 on v5e before this
+        hi32 = jax.lax.reduce_precision(x, 8, 7)
+        return hi32.astype(jnp.bfloat16), (x - hi32).astype(jnp.bfloat16)
 
     # single-concat packing (a chain of .at.set on [Nq,128] costs ~1 ms of
     # full-array rewrites inside jit; one fused concat+pad does not)
@@ -169,7 +188,9 @@ def flash_knn_mxu(q_xyz: jax.Array, q_mask: jax.Array, s_xyz: jax.Array,
     ones_q = jnp.ones((Nq, 2), jnp.bfloat16)
     qb = jnp.concatenate(
         [q_hi, q_lo, q_hi, qn_hi, qn_lo, ones_q], axis=1)   # [Nq, 13]
-    qb = jnp.pad(qb, ((0, nq_pad - Nq), (0, 128 - qb.shape[1])))
+    # pad the contraction dim to 16, not 128: only 13 columns carry data,
+    # and the MXU pass is weight-load bound — fewer weight rows load faster
+    qb = jnp.pad(qb, ((0, nq_pad - Nq), (0, 16 - qb.shape[1])))
 
     sx = s_xyz.astype(jnp.float32)
     s_hi, s_lo = _split(sx)
@@ -184,35 +205,35 @@ def flash_knn_mxu(q_xyz: jax.Array, q_mask: jax.Array, s_xyz: jax.Array,
     pad_col = jnp.zeros((1, 13), jnp.bfloat16).at[0, 11].set(_BIG)
     s_cols = jnp.concatenate(
         [s_cols, jnp.broadcast_to(pad_col, (ns_pad - Ns, 13))], axis=0)
-    s = jnp.pad(s_cols.T, ((0, 128 - 13), (0, 0)))          # [128, ns_pad]
+    s = jnp.pad(s_cols.T, ((0, 16 - 13), (0, 0)))           # [16, ns_pad]
 
-    # carrier row 0 = column indices, bitcast into f32 (read back as int32)
-    sn = jnp.broadcast_to(jax.lax.bitcast_convert_type(
-        jnp.arange(ns_pad, dtype=jnp.int32), jnp.float32)[None, :],
-        (8, ns_pad))
-
-    idx_bits = max(1, int(ns_pad - 1).bit_length())
-    low_mask = (1 << idx_bits) - 1
-    keys = pl.pallas_call(
-        functools.partial(_knn_kernel_mxu, k=k, idx_bits=idx_bits, sb=sb),
+    # only the block half of the index rides in the key's low mantissa bits;
+    # the lane half is implicit in the fold position (see _knn_kernel_mxu)
+    blk_bits = max(int(ns_pad // 128 - 1).bit_length(), 0)
+    out_d, out_i = pl.pallas_call(
+        functools.partial(_knn_kernel_mxu, k=k, blk_bits=blk_bits, sb=sb),
         grid=(nq_pad // qt,),
         in_specs=[
-            pl.BlockSpec((qt, 128), lambda i: (i, 0),
+            pl.BlockSpec((qt, 16), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, ns_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, ns_pad), lambda i: (0, 0),
+            pl.BlockSpec((16, ns_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((qt, k), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nq_pad, k), jnp.int32),
+        out_specs=(
+            pl.BlockSpec((qt, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nq_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((nq_pad, k), jnp.int32),
+        ),
         interpret=interpret,
-    )(qb, s, sn)[:Nq]
+    )(qb, s)
 
-    d2 = jnp.maximum(jax.lax.bitcast_convert_type(
-        keys & jnp.int32(~low_mask), jnp.float32) - 1.0, 0.0)
-    idx = jnp.minimum(keys & low_mask, max(Ns - 1, 0))
+    d2 = jnp.maximum(out_d[:Nq] - 1.0, 0.0)
+    idx = jnp.minimum(out_i[:Nq], max(Ns - 1, 0))
     valid = (d2 < _BIG * 0.5) & q_mask[:, None]
     return d2, idx, valid
 
