@@ -140,7 +140,9 @@ class TrainConfig:
     keep_ckpts: int = 3
     eval_every: int = 1            # epochs between evals
     log_every: int = 50            # steps between metric lines
-    bf16: bool = False             # run the dense math in bfloat16
+    # mixed precision lives on ModelConfig.dtype ('bfloat16' runs the dense
+    # GCA/decoder math in bf16 with f32 params/optimizer — flax Dense
+    # semantics); override from the CLI with model.dtype=bfloat16
 
 
 @dataclass(frozen=True)

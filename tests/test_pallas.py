@@ -72,6 +72,26 @@ def test_flash_knn_mxu_near_exact(rng_key):
     assert np.abs(d2m - d2e)[match].max() < 2e-2
 
 
+def test_flash_knn_mxu_split_survives_lowering(rng_key):
+    """The split-bf16 hi halves must be formed with lax.reduce_precision:
+    an astype(bf16).astype(f32) round-trip is folded away by XLA:TPU's
+    algebraic simplifier (the value feeds a bf16 dot), which zeroes every
+    lo residual — measured d² error jumped 4e-5 → 2.6e-2 on v5e, and top-1
+    agreement with the exact kernel fell to 0.63 at whole-scene sizes.
+    XLA:CPU does not perform the fold, so interpret-mode numeric tests can't
+    catch a regression; guard the lowering instead (4 splits: q, |q|²,
+    s, |s|²)."""
+    from gridgcn_tpu.ops.pallas.knn import flash_knn_mxu
+
+    q = jax.random.uniform(rng_key, (64, 3))
+    m = jnp.ones((64,), bool)
+    text = jax.jit(
+        lambda a, b, c, d: flash_knn_mxu(a, b, c, d, interpret=True)
+    ).lower(q, m, q, m).as_text()
+    assert text.count("reduce_precision") >= 4, \
+        "flash_knn_mxu splits must go through lax.reduce_precision"
+
+
 def test_flash_knn_mxu_masked_supports_never_win(rng_key):
     from gridgcn_tpu.ops.pallas.knn import flash_knn_mxu
 

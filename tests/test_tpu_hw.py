@@ -1,0 +1,55 @@
+"""Opt-in real-hardware checks (GRIDGCN_TPU_TESTS=1 python -m pytest ...).
+
+The default suite runs hermetically on the CPU backend (conftest pins
+jax_platforms=cpu), where Pallas runs in interpret mode and XLA:CPU skips
+the TPU-only simplifications these tests exist to catch (see
+test_flash_knn_mxu_split_survives_lowering). These tests re-run the kernels
+in a subprocess WITHOUT the CPU pin, i.e. on the real TPU, and assert
+end-to-end numeric quality. They cost one remote compile each (~30 s) and
+need the TPU queue, so they are opt-in.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_ON = os.environ.get("GRIDGCN_TPU_TESTS") == "1"
+
+_SCRIPT = r"""
+import numpy as np, jax
+from gridgcn_tpu.ops.pallas.knn import flash_knn_mxu, flash_knn
+rng = np.random.default_rng(0)
+Nq, Ns = 8192, 2048
+q = rng.uniform(-1, 1, (Nq, 3)).astype(np.float32)
+s = rng.uniform(-1, 1, (Ns, 3)).astype(np.float32)
+qm = np.ones(Nq, bool); sm = np.ones(Ns, bool)
+d2m, im, _ = jax.jit(lambda a,b,c,d: flash_knn_mxu(a,b,c,d,k=3))(q, qm, s, sm)
+d2e, ie, _ = jax.jit(lambda a,b,c,d: flash_knn(a,b,c,d,k=3))(q, qm, s, sm)
+im, ie = np.asarray(im), np.asarray(ie)
+d2m = np.asarray(d2m, np.float64)
+# exact kernel is the oracle: bit-exact vs brute force (verified on v5e)
+top1 = float(np.mean(im[:, 0] == ie[:, 0]))
+recall = float(np.mean([len(set(a) & set(b)) / 3 for a, b in zip(im, ie)]))
+# numeric quality of d2 on the kernel's own picks, against f64 truth
+true = ((q.astype(np.float64)[:, None, :] - s.astype(np.float64)[im]) ** 2).sum(-1)
+d2err = float(np.abs(d2m - true).max())
+assert top1 >= 0.99, f"top-1 vs exact kernel degraded: {top1}"
+assert recall >= 0.98, f"3-NN recall vs exact kernel degraded: {recall}"
+assert d2err < 1e-3, f"d2 numeric error vs f64 truth degraded: {d2err}"
+print(f"OK top1={top1:.4f} recall={recall:.4f} d2err={d2err:.2e}")
+"""
+
+
+@pytest.mark.skipif(not _ON, reason="set GRIDGCN_TPU_TESTS=1 to run on TPU")
+def test_flash_knn_mxu_accurate_on_hardware():
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)   # use the default (TPU) backend
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [env.get("PYTHONPATH"), repo] if p)
+    out = subprocess.run([sys.executable, "-c", _SCRIPT], env=env, cwd=repo,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "OK" in out.stdout
