@@ -64,7 +64,7 @@ def _gather_one(slots, key_table, coord_csum, seg_pos, occupancy, coverage,
                 xyz, center_vids, center_valid, key, resolution: int, K: int,
                 context: int, center_mode: str, origin, vsize,
                 approx: bool = False, return_candidates: bool = False,
-                approx_topk: bool = False):
+                approx_topk: bool = False, use_z_window: bool = False):
     """Single-cloud gather; vmapped over the batch."""
     V = resolution ** 3
     nv = (key_table if slots is None else slots).shape[-1]
@@ -99,6 +99,28 @@ def _gather_one(slots, key_table, coord_csum, seg_pos, occupancy, coverage,
     cov_bits = 6
     flat_base = base.reshape(-1)
 
+    def run_gather(padded):
+        # Each (dx, dy) context pair is a `context`-row run of ADJACENT
+        # table rows. Two lowerings:
+        #  * z-window (batched path): pre-concatenate the window — row b of
+        #    the derived table holds padded rows b..b+context-1 flattened —
+        #    so a run is ONE standard-layout row gather. Under vmap the
+        #    slice-gather below picks a {2,0,1} layout whose relayout
+        #    copies cost ~1.6 ms/step on scannet_seg traces; the windowed
+        #    build is a contiguous concat at HBM speed (measured 35.2 →
+        #    31.5 ms/step). At B=1 the window build (~V·context·nv extra
+        #    traffic) costs more than the single cheap copy it replaces
+        #    (whole-scene 15.5 → 16.5 ms/scene), hence the gate.
+        #  * slice-gather (B=1 path): one lax.gather with slice size
+        #    (context, row) — 3× fewer gathered rows than per-voxel rows.
+        if use_z_window:
+            w = padded.shape[0] - context + 1
+            windowed = jnp.concatenate(
+                [padded[i:i + w] for i in range(context)], axis=1)
+            return windowed[flat_base]
+        return jax.vmap(lambda b: jax.lax.dynamic_slice_in_dim(
+            padded, b, context, 0))(flat_base)
+
     if approx and key_table is not None:
         # Packed-key selection: the voxel table carries precomputed int32
         # keys [valid | random | log-coverage | point index] (voxelize.py),
@@ -109,8 +131,7 @@ def _gather_one(slots, key_table, coord_csum, seg_pos, occupancy, coverage,
         keys_p = jnp.concatenate(
             [jnp.zeros((r, nv), key_table.dtype), key_table,
              jnp.zeros((context, nv), key_table.dtype)], axis=0)
-        cand_keys = jax.vmap(lambda b: jax.lax.dynamic_slice_in_dim(
-            keys_p, b, context, 0))(flat_base).reshape(M, P, nv)
+        cand_keys = run_gather(keys_p).reshape(M, P, nv)
         cand_keys = jnp.where(inb[..., None], cand_keys, 0)
         if approx_topk:
             # keys are positive finite floats under bitcast (valid bit 29,
@@ -142,8 +163,7 @@ def _gather_one(slots, key_table, coord_csum, seg_pos, occupancy, coverage,
         slots_p = jnp.concatenate(
             [jnp.full((r, nv + 1), -1, slots.dtype), slots_cov,
              jnp.full((context, nv + 1), -1, slots.dtype)], axis=0)
-        runs = jax.vmap(lambda b: jax.lax.dynamic_slice_in_dim(
-            slots_p, b, context, 0))(flat_base).reshape(M, P, nv + 1)
+        runs = run_gather(slots_p).reshape(M, P, nv + 1)
         cand_idx = runs[..., :nv]
         cand_cov = jnp.maximum(runs[..., nv], 0)
         cand_valid = (cand_idx >= 0) & inb[..., None]
@@ -230,10 +250,12 @@ def gather_nodes(table: VoxelTable, xyz: jax.Array, center_vids: jax.Array,
     instead of a full row sort."""
     B = table.coverage.shape[0]
     keys = jax.random.split(key, B)
+    use_z_window = B > 1   # see run_gather: layout economics flip with vmap
     outs = jax.vmap(
         lambda s, kt, cs, sp, oc, c, x, cv, va, k, o, vs: _gather_one(
             s, kt, cs, sp, oc, c, x, cv, va, k, table.resolution, K, context,
-            center_mode, o, vs, approx, return_candidates, approx_topk))(
+            center_mode, o, vs, approx, return_candidates, approx_topk,
+            use_z_window))(
         table.slots, table.key_table, table.coord_csum, table.seg_pos,
         table.occupancy, table.coverage, xyz, center_vids, center_valid,
         keys, table.origin, table.vsize)

@@ -81,12 +81,21 @@ def _loss_and_logits(cfg: Config, logits: jax.Array, batch: dict,
                 logits, labels).mean()
         acc = jnp.mean(jnp.argmax(logits, -1) == labels)
         return loss, acc
-    # seg: per-point CE, masked, optionally inverse-frequency weighted
+    # seg: per-point CE, masked, optionally inverse-frequency weighted.
+    # One-hot formulation, NOT softmax_cross_entropy_with_integer_labels:
+    # optax's integer-label path lowers the label pick to a row gather
+    # (and a row scatter in the backward), which runs at the ~100 M rows/s
+    # gather floor — 0.8 ms each way on 65K points in scannet_seg traces.
+    # num_classes is small, so logits·one_hot is a fused elementwise pass.
+    onehot = jax.nn.one_hot(labels, cfg.model.num_classes,
+                            dtype=logits.dtype)
+    ce = (jax.nn.logsumexp(logits, axis=-1)
+          - jnp.sum(logits * onehot, axis=-1))
     mask = batch["mask"]
-    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
     w = mask.astype(ce.dtype)
     if class_weights is not None:
-        w = w * class_weights[labels]
+        # same trick: class_weights[labels] is a gather; ride the one-hot
+        w = w * jnp.sum(onehot * class_weights.astype(ce.dtype), axis=-1)
     denom = jnp.maximum(jnp.sum(w), 1e-6)
     loss = jnp.sum(ce * w) / denom
     n = jnp.maximum(jnp.sum(mask), 1)
