@@ -56,21 +56,44 @@ class GridConv(nn.Module):
         out = cagq(xyz, mask, self.spec, key, bounds=bounds)
         g = out.groups
 
-        # node coordinates come from the packed coord table inside CAGQ
-        # (no [N,3] scalar gather here — SURVEY §7 H4)
-        delta_p = g.node_xyz - g.center_xyz[:, :, None, :]
-        delta_p = jnp.where(g.neighbor_mask[..., None], delta_p, 0.0)
         if feat is None:
             node_feat = None
+            node_xyz = g.node_xyz
         elif self.feat_has_xyz_prefix:
-            node_xyz = g.node_xyz.astype(feat.dtype)
+            node_xyz = g.node_xyz
+            nxyz = node_xyz.astype(feat.dtype)
             if feat.shape[-1] > 3:
                 rest = gather_point_features(feat[..., 3:], g.neighbor_idx)
-                node_feat = jnp.concatenate([node_xyz, rest], axis=-1)
+                node_feat = jnp.concatenate([nxyz, rest], axis=-1)
             else:
-                node_feat = node_xyz
+                node_feat = nxyz
         else:
-            node_feat = gather_point_features(feat, g.neighbor_idx)
+            # ONE [B·M·K]-row gather for coords AND features: xyz columns
+            # ride in front of feat, so g.node_xyz (a second gather of the
+            # same rows inside ops/gather) goes unused and XLA DCEs it —
+            # gather cost is row-rate-bound, so halving the row sets saves
+            # ~0.7 ms/step on scannet_seg. bf16 feat: xyz rides as its
+            # exact bitcast bf16 pairs (no precision loss on positions).
+            if feat.dtype == jnp.bfloat16:
+                xyz_cols = jax.lax.bitcast_convert_type(
+                    xyz.astype(jnp.float32), jnp.bfloat16
+                ).reshape(*xyz.shape[:-1], 6)
+                got = gather_point_features(
+                    jnp.concatenate([xyz_cols, feat], axis=-1),
+                    g.neighbor_idx)
+                node_xyz = jax.lax.bitcast_convert_type(
+                    got[..., :6].reshape(*got.shape[:-1], 3, 2), jnp.float32)
+                node_feat = got[..., 6:]
+            else:
+                got = gather_point_features(
+                    jnp.concatenate([xyz.astype(feat.dtype), feat], axis=-1),
+                    g.neighbor_idx)
+                node_xyz = got[..., :3].astype(xyz.dtype)
+                node_feat = got[..., 3:]
+            node_xyz = jnp.where(g.neighbor_mask[..., None], node_xyz, 0.0)
+
+        delta_p = node_xyz - g.center_xyz[:, :, None, :]
+        delta_p = jnp.where(g.neighbor_mask[..., None], delta_p, 0.0)
 
         # paper-faithful grid-context pooling source: masked mean over ALL
         # stored context points (spec.context_pool_source='candidates')
