@@ -241,16 +241,19 @@ def gather_nodes(table: VoxelTable, xyz: jax.Array, center_vids: jax.Array,
                  center_valid: jax.Array, K: int, context: int,
                  key: jax.Array, center_mode: str = "barycenter",
                  approx: bool = False, return_candidates: bool = False,
-                 approx_topk: bool = False) -> GroupedNodes:
+                 approx_topk: bool = False,
+                 z_window: bool | None = None) -> GroupedNodes:
     """Batched F-04 gather; centers from F-02/F-03; xyz = level points.
 
     return_candidates=True additionally emits the full [M, P*nv] context
     point indices/validity (the paper's grid-context pooling input, F-07).
     approx_topk=True (packed path only) selects nodes with approx_max_k
-    instead of a full row sort."""
+    instead of a full row sort. z_window overrides the context-run lowering
+    choice (None = auto; see run_gather) — both lowerings are value-exact."""
     B = table.coverage.shape[0]
     keys = jax.random.split(key, B)
-    use_z_window = B > 1   # see run_gather: layout economics flip with vmap
+    # see run_gather: layout economics flip with vmap
+    use_z_window = (B > 1) if z_window is None else z_window
     outs = jax.vmap(
         lambda s, kt, cs, sp, oc, c, x, cv, va, k, o, vs: _gather_one(
             s, kt, cs, sp, oc, c, x, cv, va, k, table.resolution, K, context,

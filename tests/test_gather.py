@@ -184,3 +184,37 @@ def test_approx_topk_padding_invariance(rng_key):
                                np.asarray(g2.node_xyz))
     # every valid center found nodes (pool ≥ K here)
     assert bool(g1.neighbor_mask[np.asarray(g1.center_valid)].any())
+
+
+def test_z_window_path_matches_slice_gather_path(rng_key):
+    """Both context-run lowerings (z-windowed table vs 3-row-run
+    slice-gather, ops/gather.run_gather) must be value-exact on identical
+    inputs — the batched path auto-selects the window, so a drift would be
+    a silent train/eval divergence. Covers exact, packed, and approx_topk
+    selection."""
+    from gridgcn_tpu.ops.gather import gather_nodes
+    from gridgcn_tpu.ops.sampling import sample_centers_rvs
+    from gridgcn_tpu.ops.voxelize import build_voxel_table
+
+    for approx, approx_topk in [(False, False), (True, False), (True, True)]:
+        spec = GridLayerSpec(resolution=8, nv=4, n_centers=48,
+                             k_neighbors=16, context=3, sampler="rvs",
+                             approx_topk=approx_topk)
+        B, N = 3, 400
+        xyz = jax.random.uniform(rng_key, (B, N, 3), minval=-1.0, maxval=1.0)
+        mask = jnp.ones((B, N), bool).at[:, N - 25:].set(False)
+        table = build_voxel_table(xyz, mask, spec.resolution, spec.nv,
+                                  key=jax.random.PRNGKey(7),
+                                  with_keys=approx)
+        cvid, cvalid = sample_centers_rvs(table, spec.n_centers,
+                                          jax.random.PRNGKey(3))
+        kw = dict(K=spec.k_neighbors, context=spec.context,
+                  key=jax.random.PRNGKey(11), approx=approx,
+                  approx_topk=approx_topk)
+        a = gather_nodes(table, xyz, cvid, cvalid, z_window=True, **kw)
+        b = gather_nodes(table, xyz, cvid, cvalid, z_window=False, **kw)
+        for fa, fb in [(a.neighbor_idx, b.neighbor_idx),
+                       (a.neighbor_mask, b.neighbor_mask),
+                       (a.node_coverage, b.node_coverage),
+                       (a.node_xyz, b.node_xyz)]:
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
