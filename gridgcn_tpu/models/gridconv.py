@@ -74,9 +74,9 @@ class GridConv(nn.Module):
             # gather cost is row-rate-bound, so halving the row sets saves
             # ~0.7 ms/step on scannet_seg. bf16 feat: xyz rides as its
             # exact bitcast bf16 pairs (no precision loss on positions).
-            if feat.dtype == jnp.bfloat16:
+            if feat.dtype.itemsize == 2:   # bf16/f16: exact bitcast pairs
                 xyz_cols = jax.lax.bitcast_convert_type(
-                    xyz.astype(jnp.float32), jnp.bfloat16
+                    xyz.astype(jnp.float32), feat.dtype
                 ).reshape(*xyz.shape[:-1], 6)
                 got = gather_point_features(
                     jnp.concatenate([xyz_cols, feat], axis=-1),
@@ -84,12 +84,15 @@ class GridConv(nn.Module):
                 node_xyz = jax.lax.bitcast_convert_type(
                     got[..., :6].reshape(*got.shape[:-1], 3, 2), jnp.float32)
                 node_feat = got[..., 6:]
-            else:
+            elif feat.dtype == jnp.float32:
                 got = gather_point_features(
                     jnp.concatenate([xyz.astype(feat.dtype), feat], axis=-1),
                     g.neighbor_idx)
-                node_xyz = got[..., :3].astype(xyz.dtype)
+                node_xyz = got[..., :3]
                 node_feat = got[..., 3:]
+            else:   # exotic dtype: two gathers, but never quantize positions
+                node_xyz = g.node_xyz
+                node_feat = gather_point_features(feat, g.neighbor_idx)
             node_xyz = jnp.where(g.neighbor_mask[..., None], node_xyz, 0.0)
 
         delta_p = node_xyz - g.center_xyz[:, :, None, :]

@@ -4,7 +4,7 @@
 Two variants behind `flash_three_nn(..., variant=)`:
 
 * `"mxu"` (default, `flash_knn_mxu`) — the whole expanded distance form
-  rides the MXU as one K=128 split-bf16 matmul (f32-grade precision; see
+  rides the MXU as one K=16 split-bf16 matmul (f32-grade precision; see
   `_knn_kernel_mxu`), and top-k is a per-lane min fold, so VPU work is
   3 ops/element. In-model this took whole-scene seg inference from 20.2 ms
   to 19.5 ms/scene on v5e (vs the XLA approx_min_k path, whose [Nq, Ns]

@@ -89,12 +89,13 @@ def _loss_and_logits(cfg: Config, logits: jax.Array, batch: dict,
     # num_classes is small, so logits·one_hot is a fused elementwise pass.
     onehot = jax.nn.one_hot(labels, cfg.model.num_classes,
                             dtype=logits.dtype)
-    ce = (jax.nn.logsumexp(logits, axis=-1)
-          - jnp.sum(logits * onehot, axis=-1))
+    ce = optax.softmax_cross_entropy(
+        logits, optax.smooth_labels(onehot, ls) if ls > 0 else onehot)
     mask = batch["mask"]
     w = mask.astype(ce.dtype)
     if class_weights is not None:
-        # same trick: class_weights[labels] is a gather; ride the one-hot
+        # same trick: class_weights[labels] is a gather; ride the (hard,
+        # unsmoothed) one-hot so the per-point weight stays the label's own
         w = w * jnp.sum(onehot * class_weights.astype(ce.dtype), axis=-1)
     denom = jnp.maximum(jnp.sum(w), 1e-6)
     loss = jnp.sum(ce * w) / denom
