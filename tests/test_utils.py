@@ -72,3 +72,24 @@ def test_prefetcher_order_and_errors():
     with pytest.raises(RuntimeError, match="boom"):
         for _ in pf:
             pass
+
+
+def test_traceview_exclusive_attribution():
+    """Innermost-active attribution: overlapped async spans are charged
+    only for time nothing runs inside them; values sum to busy time."""
+    from gridgcn_tpu.utils.traceview import exclusive_times
+
+    # copy-start [0, 100) wraps fusion.a [10, 40) and fusion.b [60, 80)
+    events = [(0, 100, "copy"), (10, 40, "a"), (60, 80, "b")]
+    excl = exclusive_times(events)
+    assert excl == {"copy": 50, "a": 30, "b": 20}
+    assert sum(excl.values()) == 100  # == busy span (no idle)
+
+    # nested same-name and zero-length events
+    events = [(0, 10, "x"), (2, 8, "x"), (5, 5, "zero")]
+    excl = exclusive_times(events)
+    assert excl == {"x": 10}
+
+    # disjoint with idle gap: busy = 6, not span (=10)
+    excl = exclusive_times([(0, 4, "p"), (8, 10, "q")])
+    assert excl == {"p": 4, "q": 2}
