@@ -160,7 +160,7 @@ def _knn_kernel_mxu(qb_ref, s_ref, out_d_ref, out_i_ref, *,
 
 
 def flash_knn_mxu(q_xyz: jax.Array, q_mask: jax.Array, s_xyz: jax.Array,
-                  s_mask: jax.Array, k: int = 3, qt: int = 256,
+                  s_mask: jax.Array, k: int = 3, qt: int = 1024,
                   sb: int = 2048, interpret: bool = False):
     """Near-exact k-NN, MXU distance + lane-fold top-k (see _knn_kernel_mxu).
 
