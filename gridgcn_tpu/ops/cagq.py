@@ -44,10 +44,15 @@ def cagq(xyz: jax.Array, mask: jax.Array, spec: GridLayerSpec,
     # the raw [M, P·nv] candidate indices, and as the selection oracle in
     # tests. Note: packed keys clamp the coverage weight at 63 (6 bits).
     use_packed = not need_candidates
+    # the F-04 context walk pads the key table with (r, context) sentinel
+    # rows; scattering into the padded buffer up front removes that
+    # runtime pad-concat from the hot path (ops/voxelize key_pad)
+    r = (spec.context - 1) // 2
     table = build_voxel_table(xyz, mask, spec.resolution, spec.nv, k_build,
                               with_keys=use_packed,
                               with_slots=not use_packed,
-                              bounds=bounds)
+                              bounds=bounds,
+                              key_pad=(r, spec.context))
 
     if spec.sampler == "rvs":
         center_vids, center_valid = sample_centers_rvs(

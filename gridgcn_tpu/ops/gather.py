@@ -60,7 +60,8 @@ class GroupedNodes:
     cand_valid: jax.Array | None = None   # (return_candidates=True only)
 
 
-def _gather_one(slots, key_table, coord_csum, seg_pos, occupancy, coverage,
+def _gather_one(slots, key_table, key_table_pad, coord_csum, seg_pos,
+                occupancy, coverage,
                 xyz, center_vids, center_valid, key, resolution: int, K: int,
                 context: int, center_mode: str, origin, vsize,
                 approx: bool = False, return_candidates: bool = False,
@@ -128,9 +129,13 @@ def _gather_one(slots, key_table, coord_csum, seg_pos, occupancy, coverage,
         # winners WITH their payload. A take_along-based selection costs
         # ~2.5 ms per [8K, 432] array in XLA's lowering (profiled); the
         # top_k itself is ~0.5 ms.
-        keys_p = jnp.concatenate(
-            [jnp.zeros((r, nv), key_table.dtype), key_table,
-             jnp.zeros((context, nv), key_table.dtype)], axis=0)
+        if key_table_pad is not None and \
+                key_table_pad.shape[0] == r + V + context:
+            keys_p = key_table_pad   # pre-padded by the voxelize scatter
+        else:
+            keys_p = jnp.concatenate(
+                [jnp.zeros((r, nv), key_table.dtype), key_table,
+                 jnp.zeros((context, nv), key_table.dtype)], axis=0)
         cand_keys = run_gather(keys_p).reshape(M, P, nv)
         cand_keys = jnp.where(inb[..., None], cand_keys, 0)
         if approx_topk:
@@ -255,13 +260,13 @@ def gather_nodes(table: VoxelTable, xyz: jax.Array, center_vids: jax.Array,
     # see run_gather: layout economics flip with vmap
     use_z_window = (B > 1) if z_window is None else z_window
     outs = jax.vmap(
-        lambda s, kt, cs, sp, oc, c, x, cv, va, k, o, vs: _gather_one(
-            s, kt, cs, sp, oc, c, x, cv, va, k, table.resolution, K, context,
-            center_mode, o, vs, approx, return_candidates, approx_topk,
-            use_z_window))(
-        table.slots, table.key_table, table.coord_csum, table.seg_pos,
-        table.occupancy, table.coverage, xyz, center_vids, center_valid,
-        keys, table.origin, table.vsize)
+        lambda s, kt, ktp, cs, sp, oc, c, x, cv, va, k, o, vs: _gather_one(
+            s, kt, ktp, cs, sp, oc, c, x, cv, va, k, table.resolution, K,
+            context, center_mode, o, vs, approx, return_candidates,
+            approx_topk, use_z_window))(
+        table.slots, table.key_table, table.key_table_pad, table.coord_csum,
+        table.seg_pos, table.occupancy, table.coverage, xyz, center_vids,
+        center_valid, keys, table.origin, table.vsize)
     nidx, nmask, nxyz, ncov, cxyz = outs[:5]
     cand_idx, cand_valid = (outs[5], outs[6]) if return_candidates else (None, None)
     return GroupedNodes(neighbor_idx=nidx, neighbor_mask=nmask,

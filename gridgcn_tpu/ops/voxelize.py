@@ -52,6 +52,13 @@ class VoxelTable:
                    Randomness is per-point (all centers rank a shared
                    candidate identically — the reference's per-voxel
                    retention semantics).
+      key_table_pad: [B, pad_lo+V+pad_hi, nv] int32 or None — the SAME keys
+                   scattered directly into a context-padded buffer
+                   (key_pad=(pad_lo, pad_hi)); rows outside [pad_lo,
+                   pad_lo+V) are zero = invalid. Lets F-04's context walk
+                   skip its runtime pad-concat, whose T(1,128) fusion cost
+                   0.63 ms/scene at whole-scene scale. key_table is a view
+                   (slice) of this buffer when both are built.
       coord_table: [B, V+1, 3*nv] or None — packed slot coordinates
                    [x0..x_{nv-1} | y0.. | z0..]; empty slots and row V (the
                    out-of-grid sentinel) hold +COORD_SENTINEL. Built only
@@ -98,6 +105,7 @@ class VoxelTable:
     vsize: jax.Array
     resolution: int = struct.field(pytree_node=False)
     nv: int = struct.field(pytree_node=False)
+    key_table_pad: jax.Array | None = None
 
     @property
     def num_voxels(self) -> int:
@@ -127,7 +135,8 @@ def grid_bounds(xyz: jax.Array, mask: jax.Array, resolution: int):
 
 def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
                resolution: int, nv: int, with_coords: bool, with_keys: bool,
-               with_slots: bool, origin=None, vsize=None):
+               with_slots: bool, origin=None, vsize=None,
+               key_pad: tuple[int, int] = (0, 0)):
     """Single-cloud table build; vmapped over the batch."""
     N = xyz.shape[0]
     V = resolution ** 3
@@ -176,6 +185,7 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
         slots = slots[: V * nv].reshape(V, nv)
 
     key_table = None
+    key_table_pad = None
     if with_keys:
         # precomputed selection keys (see VoxelTable docstring)
         # the valid flag sits at bit 29 (not 30) so every key stays below
@@ -193,9 +203,18 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
         keys = ((keep.astype(jnp.int32) << 29)
                 | (rbits << (idx_bits + cov_bits))
                 | (cov_q << idx_bits) | sorted_pidx)
-        key_table = jnp.zeros((V * nv + 1,), jnp.int32).at[dest].set(
+        # scatter straight into a context-padded buffer when the consumer's
+        # pad geometry is known (key_pad=(lo, hi)): the pad rows stay zero
+        # (= invalid key), so F-04 skips its runtime pad-concat entirely
+        lo, hi = key_pad
+        rows = lo + V + hi
+        kdest = jnp.where(keep, dest + lo * nv, rows * nv)
+        key_table_pad = jnp.zeros((rows * nv + 1,), jnp.int32).at[kdest].set(
             keys, unique_indices=True)
-        key_table = key_table[: V * nv].reshape(V, nv)
+        key_table_pad = key_table_pad[: rows * nv].reshape(rows, nv)
+        key_table = key_table_pad[lo:lo + V]
+        if lo == 0 and hi == 0:
+            key_table_pad = None
 
     coords = xyz[sorted_pidx]                                    # [N, 3]
 
@@ -233,14 +252,15 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
     seg_pos = jnp.zeros((V + 1,), jnp.int32).at[start_dest].set(
         seg_start, unique_indices=True)
     occupancy = jnp.minimum(coverage, nv)
-    return (slots, key_table, coord_table, coord_csum, seg_pos, occupancy,
-            coverage, vid, sorted_vid, origin, vsize)
+    return (slots, key_table, key_table_pad, coord_table, coord_csum,
+            seg_pos, occupancy, coverage, vid, sorted_vid, origin, vsize)
 
 
 def build_voxel_table(xyz: jax.Array, mask: jax.Array, resolution: int,
                       nv: int, key: jax.Array, with_coords: bool = False,
                       with_keys: bool = False, with_slots: bool = True,
-                      bounds=None) -> VoxelTable:
+                      bounds=None,
+                      key_pad: tuple[int, int] = (0, 0)) -> VoxelTable:
     """Build fixed-capacity voxel tables for a batch of point clouds.
 
     Args:
@@ -263,21 +283,23 @@ def build_voxel_table(xyz: jax.Array, mask: jax.Array, resolution: int,
     B, N = xyz.shape[:2]
     rand = jax.random.bits(key, (B, N))   # random per-voxel retention order
     if bounds is not None:
-        (slots, ktab, ctab, csum, spos, occ, cov, vid, svid, origin,
+        (slots, ktab, ktab_p, ctab, csum, spos, occ, cov, vid, svid, origin,
          vsize) = jax.vmap(
             lambda x, m, r, o, vs: _build_one(
                 x, m, r, resolution, nv, with_coords, with_keys, with_slots,
-                origin=o, vsize=vs))(xyz, mask, rand, bounds[0], bounds[1])
+                origin=o, vsize=vs, key_pad=key_pad))(
+            xyz, mask, rand, bounds[0], bounds[1])
     else:
-        (slots, ktab, ctab, csum, spos, occ, cov, vid, svid, origin,
+        (slots, ktab, ktab_p, ctab, csum, spos, occ, cov, vid, svid, origin,
          vsize) = jax.vmap(
             lambda x, m, r: _build_one(x, m, r, resolution, nv, with_coords,
-                                       with_keys, with_slots))(xyz, mask, rand)
+                                       with_keys, with_slots,
+                                       key_pad=key_pad))(xyz, mask, rand)
     return VoxelTable(slots=slots, key_table=ktab, coord_table=ctab,
                       coord_csum=csum, seg_pos=spos, occupancy=occ,
                       coverage=cov, point_vid=vid, sorted_vid=svid,
                       origin=origin, vsize=vsize, resolution=resolution,
-                      nv=nv)
+                      nv=nv, key_table_pad=ktab_p)
 
 
 def capacity_stats(table: VoxelTable) -> dict:
