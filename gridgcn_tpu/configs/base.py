@@ -120,6 +120,11 @@ class DataConfig:
     dropout_max: float = 0.0       # random point dropout ratio upper bound
     shuffle_points: bool = True    # randomizes voxel-slot retention (F-01 semantics)
     num_feats: int = 0             # extra feature channels provided by the dataset
+    # feature columns that are xyz-like (e.g. s3dis normalized room xyz,
+    # feat cols 3:6) and must be rotated WITH the cloud during rotation
+    # voting / rotation augmentation — else each vote sees inconsistent
+    # inputs (rotated positions, stale xyz-derived features)
+    feat_geo_channels: Tuple[int, ...] = ()
 
 
 @dataclass(frozen=True)

@@ -100,7 +100,7 @@ def s3dis_seg() -> Config:
                           layers=layers, up_layers=up_layers, head=(128,),
                           dropout=0.5),
         data=DataConfig(dataset="s3dis", num_points=4096, batch_size=8,
-                        num_feats=6),
+                        num_feats=6, feat_geo_channels=(3, 4, 5)),
         train=TrainConfig(epochs=100, lr=1e-3),
     )
 

@@ -34,7 +34,34 @@ def load_s3dis(root: str, split: str, num_points: int):
     return xyz, feats, labels
 
 
-def _load_hdf5_blocks(base: str, split: str):
+def load_s3dis_rooms(root: str, split: str, num_points: int):
+    """Like `load_s3dis` but also returns each block's room id [S] (int32)
+    and the room name list, for the reference's room-level block-merging
+    evaluation protocol (SURVEY §2.3 F-16). npy layout: optional
+    `s3dis_<split>_rooms.npy` [S] of strings/ints; hdf5 layout: from
+    `room_filelist.txt`. Blocks without room info fall back to one room."""
+    base = os.path.join(root, "s3dis")
+    npy_pts = os.path.join(base, f"s3dis_{split}_points.npy")
+    if os.path.exists(npy_pts):
+        pts = np.load(npy_pts).astype(np.float32)
+        labels = np.load(os.path.join(
+            base, f"s3dis_{split}_labels.npy")).astype(np.int32)
+        rooms_file = os.path.join(base, f"s3dis_{split}_rooms.npy")
+        rooms = (np.load(rooms_file, allow_pickle=True)
+                 if os.path.exists(rooms_file)
+                 else np.zeros(len(pts), np.int32))
+    else:
+        pts, labels, rooms = _load_hdf5_blocks(base, split, with_rooms=True)
+    pts = pts[:, :num_points]
+    labels = labels[:, :num_points]
+    names, room_ids = np.unique(np.asarray(rooms), return_inverse=True)
+    xyz = pts[..., :3]
+    feats = pts[..., 3:9] if pts.shape[-1] >= 9 else np.zeros(
+        (*xyz.shape[:2], 6), np.float32)
+    return xyz, feats, labels, room_ids.astype(np.int32), [str(n) for n in names]
+
+
+def _load_hdf5_blocks(base: str, split: str, with_rooms: bool = False):
     """Standard indoor3d_sem_seg_hdf5_data layout with room_filelist Area-5
     holdout (the reference's evaluation protocol, paper §4.4)."""
     import h5py
@@ -55,4 +82,6 @@ def _load_hdf5_blocks(base: str, split: str):
     labels = np.concatenate(labels, 0)
     is_test = np.array([r.startswith(_AREA5_PREFIX) for r in rooms])
     sel = is_test if split != "train" else ~is_test
+    if with_rooms:
+        return data[sel], labels[sel], np.asarray(rooms)[sel]
     return data[sel], labels[sel]

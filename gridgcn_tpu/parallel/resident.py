@@ -63,15 +63,30 @@ def _resident_model(cfg: Config, n_shards: int) -> GridGCNSegmentation:
         cfg.model, layers=layers))
 
 
+def _merge_stats(dst: dict, src: dict) -> dict:
+    """Deep-merge flax collection dicts (disjoint module paths per call)."""
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _merge_stats(dst[k], v)
+        else:
+            dst[k] = v
+    return dst
+
+
 def make_resident_forward(cfg: Config, mesh: Mesh,
-                          axis_name: str = DATA_AXIS):
+                          axis_name: str = DATA_AXIS, train: bool = False):
     """Build the jitted sharded forward.
 
     Returns fwd(variables, shard_xyz [D,cap,3], shard_mask [D,cap],
                 edges [D+1], origin [3], vsize [3], rng)
-              -> logits [D, cap, num_classes]
-    with the leading axis sharded over `axis_name`. Ghost-point logits are
-    computed but meaningless — consumers mask with `owned`.
+              -> logits [D, cap, num_classes]             (train=False)
+              -> (logits, batch_stats updates)            (train=True)
+    with the leading logits axis sharded over `axis_name`. Ghost-point
+    logits are meaningless — consumers mask with `owned`. train=True runs
+    BatchNorm in batch mode and dropout live; per-shard BN statistics are
+    pmean'd over the mesh (the standard cross-replica BN approximation, as
+    in data parallelism) and returned replicated, enabling fully-resident
+    spatially-sharded TRAINING (SURVEY §2.4 F-22).
     """
     if cfg.model.task != "seg":
         raise ValueError("resident forward is for segmentation models")
@@ -88,15 +103,31 @@ def make_resident_forward(cfg: Config, mesh: Mesh,
         # shard-distinct keys for the sharded level, shard-IDENTICAL keys
         # for the replicated coarse pyramid (divergence there would be a
         # correctness bug, not noise)
-        local_rngs = {"cagq": jax.random.fold_in(rng, d)}
+        def _with_dropout(rngs, salt):
+            if train and cfg.model.dropout > 0:
+                rngs = dict(rngs, dropout=jax.random.fold_in(rng, salt))
+            return rngs
+        local_rngs = _with_dropout(
+            {"cagq": jax.random.fold_in(rng, d)}, 77_000)
         def shared_rngs(i):
-            return {"cagq": jax.random.fold_in(rng, 10_000 + i)}
+            return _with_dropout(
+                {"cagq": jax.random.fold_in(rng, 10_000 + i)}, 88_000 + i)
+
+        stats: dict = {}
+
+        def apply(*args, method, rngs=None):
+            if not train:
+                return model.apply(*args, method=method, rngs=rngs)
+            out, mut = model.apply(*args, method=method, rngs=rngs,
+                                   mutable=["batch_stats"])
+            _merge_stats(stats, mut["batch_stats"])
+            return out
 
         feat0 = sx if cfg.model.use_xyz_feature else None
 
         # ---- layer 0: sharded, on the global grid ----
-        c_xyz, c_feat, c_valid = model.apply(
-            variables, 0, sx, feat0, sm, False,
+        c_xyz, c_feat, c_valid = apply(
+            variables, 0, sx, feat0, sm, train,
             (origin[None], vsize[None]),
             method="encode_layer", rngs=local_rngs)
 
@@ -114,31 +145,39 @@ def make_resident_forward(cfg: Config, mesh: Mesh,
         levels = [(g_xyz, g_feat, g_valid)]
         xyz, feat, mask = g_xyz, g_feat, g_valid
         for i in range(1, n_layers):
-            xyz, feat, mask = model.apply(
-                variables, i, xyz, feat, mask, False, None,
+            xyz, feat, mask = apply(
+                variables, i, xyz, feat, mask, train, None,
                 method="encode_layer", rngs=shared_rngs(i))
             levels.append((xyz, feat, mask))
 
         c_xyz2, c_feat2, c_mask2 = levels[-1]
         for i in range(n_layers - 1):
             d_xyz, d_feat, d_mask = levels[-2 - i]
-            c_feat2 = model.apply(
+            c_feat2 = apply(
                 variables, i, c_xyz2, c_feat2, c_mask2,
-                d_xyz, d_feat, d_mask, False,
+                d_xyz, d_feat, d_mask, train,
                 method="decode_stage", rngs=shared_rngs(100 + i))
             c_xyz2, c_mask2 = d_xyz, d_mask
 
         # ---- final stage + head: sharded (dense level = local slab) ----
-        x = model.apply(
+        x = apply(
             variables, n_layers - 1, c_xyz2, c_feat2, c_mask2,
-            sx, feat0, sm, False,
+            sx, feat0, sm, train,
             method="decode_stage", rngs=local_rngs)
-        return model.apply(variables, x, False, method="head_logits")
+        logits = apply(variables, x, train, method="head_logits",
+                       rngs=_with_dropout({}, 99_000))
+        if not train:
+            return logits
+        # cross-shard BN statistics, as in data-parallel training
+        stats_mean = jax.tree.map(
+            lambda x: jax.lax.pmean(x, axis_name), stats)
+        return logits, stats_mean
 
+    out_specs = (P(axis_name), P()) if train else P(axis_name)
     fwd = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name), P(), P(), P(), P()),
-        out_specs=P(axis_name),
+        out_specs=out_specs,
         check_vma=False)
     return jax.jit(fwd)
 

@@ -65,15 +65,19 @@ def _shift(x: jax.Array, axis_name: str, direction: int) -> jax.Array:
 
 
 def _band_index(x: jax.Array, sel: jax.Array, H: int):
-    """Indices of up to H selected rows (order preserved): (idx [H], ok [H]).
+    """Indices of up to H selected rows (order preserved):
+    (idx [H], ok [H], dropped scalar).
 
     Overflowing rows are dropped — ghost capacity is a config choice like
-    every other fixed capacity in this framework (SURVEY §7 H1)."""
+    every other fixed capacity in this framework (SURVEY §7 H1) — but the
+    drop count is surfaced so callers can size ghost_cap from data instead
+    of discovering silent accuracy loss (ADVICE r1 #2)."""
     rank = jnp.cumsum(sel) - 1
     dest = jnp.where(sel & (rank < H), rank, H)
     idx = jnp.full((H + 1,), -1, jnp.int32).at[dest].set(
         jnp.arange(x.shape[0], dtype=jnp.int32), unique_indices=True)[:H]
-    return jnp.maximum(idx, 0), idx >= 0
+    dropped = jnp.maximum(jnp.sum(sel.astype(jnp.int32)) - H, 0)
+    return jnp.maximum(idx, 0), idx >= 0, dropped
 
 
 def _take(arr: jax.Array, idx: jax.Array, ok: jax.Array) -> jax.Array:
@@ -87,13 +91,14 @@ def exchange_boundary(xyz, feat, valid, lo, hi, width, H, axis_name):
     xyz [M, 3], feat [M, C], valid [M] are this shard's OWNED level
     entities; [lo, hi) its slab interval on the partition axis. Returns
       (g_xyz [2H, 3], g_feat [2H, C], g_valid [2H],
-       send [(idx_r, ok_r), (idx_l, ok_l)])
-    — ghosts received from the left and right neighbors, plus the send
+       send [(idx_r, ok_r), (idx_l, ok_l)], dropped scalar)
+    — ghosts received from the left and right neighbors, the send
     selections (fixed row layout) that `refresh_ghosts` reuses so decoder
-    updates land in the same ghost slots."""
+    updates land in the same ghost slots, and the count of boundary rows
+    this shard could NOT ship because the per-face buffer H overflowed."""
     x = xyz[:, 0]
-    idx_r, ok_r = _band_index(x, valid & (x >= hi - width), H)  # → right
-    idx_l, ok_l = _band_index(x, valid & (x < lo + width), H)   # → left
+    idx_r, ok_r, drop_r = _band_index(x, valid & (x >= hi - width), H)
+    idx_l, ok_l, drop_l = _band_index(x, valid & (x < lo + width), H)
     parts = []
     for direction, (idx, ok) in ((1, (idx_r, ok_r)), (-1, (idx_l, ok_l))):
         g_xyz = _shift(_take(xyz, idx, ok), axis_name, direction)
@@ -102,7 +107,8 @@ def exchange_boundary(xyz, feat, valid, lo, hi, width, H, axis_name):
         parts.append((g_xyz, g_feat, g_ok))
     (lx, lf, lv), (rx, rf, rv) = parts   # from left neighbor, from right
     return (jnp.concatenate([lx, rx]), jnp.concatenate([lf, rf]),
-            jnp.concatenate([lv, rv]), ((idx_r, ok_r), (idx_l, ok_l)))
+            jnp.concatenate([lv, rv]), ((idx_r, ok_r), (idx_l, ok_l)),
+            drop_r + drop_l)
 
 
 def refresh_ghosts(feat_own, send, axis_name):
@@ -121,10 +127,13 @@ def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap: int = 0,
 
     Returns fwd(variables, shard_xyz [D,cap,3], shard_mask [D,cap],
                 edges [D+1], origin [3], extent [3], rng)
-              -> logits [D, cap, num_classes]
-    with the leading axis sharded over `axis_name`; ghost-point logits are
+              -> (logits [D, cap, num_classes], ghost_overflow [D] int32)
+    with the leading axes sharded over `axis_name`; ghost-point logits are
     meaningless (mask with `owned`). `ghost_cap` = per-face ghost buffer
     rows per level (default: half the shard's center share).
+    `ghost_overflow[d]` counts boundary rows shard d failed to ship across
+    all levels/faces — nonzero means the decoder read stale/zero ghosts;
+    raise ghost_cap (ADVICE r1 #2).
     """
     if cfg.model.task != "seg":
         raise ValueError("resident-ml forward is for segmentation models")
@@ -157,6 +166,7 @@ def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap: int = 0,
         def reach(spec, vsize):
             return (spec.context // 2 + 1) * jnp.max(vsize)
 
+        overflow = jnp.zeros((), jnp.int32)
         feat0 = sx if cfg.model.use_xyz_feature else None
         # level state: (xyz [1,Ci,3], feat, valid, owned, send or None)
         levels = [(sx, feat0, sm[0], sm[0] & (sx[0, :, 0] >= lo)
@@ -178,8 +188,9 @@ def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap: int = 0,
                 # last level still feeds the first decode stage as support
                 width = reach(specs[i], vsize)
             H = ghost_cap or max(8, specs[i].n_centers // 2)
-            g_xyz, g_feat, g_ok, send = exchange_boundary(
+            g_xyz, g_feat, g_ok, send, dropped = exchange_boundary(
                 c_xyz[0], c_feat[0], own, lo, hi, width, H, axis_name)
+            overflow = overflow + dropped
 
             xyz = jnp.concatenate([c_xyz[0], g_xyz])[None]
             feat = jnp.concatenate([c_feat[0], g_feat])[None]
@@ -205,12 +216,13 @@ def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap: int = 0,
                 new_feat = jnp.concatenate([own_feat, g_new])[None]
             c_xyz, c_feat, c_mask = d_xyz, new_feat, d_valid[None]
 
-        return model.apply(variables, c_feat, False, method="head_logits")
+        logits = model.apply(variables, c_feat, False, method="head_logits")
+        return logits, overflow[None]
 
     fwd = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name), P(), P(), P(), P()),
-        out_specs=P(axis_name),
+        out_specs=(P(axis_name), P(axis_name)),
         check_vma=False)
     return jax.jit(fwd)
 
@@ -237,9 +249,17 @@ def resident_ml_seg_predict(cfg: Config, variables, xyz: np.ndarray,
     rng = jax.random.PRNGKey(0) if rng is None else rng
     sh = NamedSharding(mesh, P(DATA_AXIS))
     variables = jax.device_put(variables, NamedSharding(mesh, P()))
-    logits = np.asarray(jax.device_get(fwd(
+    logits, overflow = fwd(
         variables, jax.device_put(sx, sh), jax.device_put(sm, sh),
-        jnp.asarray(edges), jnp.asarray(origin), jnp.asarray(extent), rng)))
+        jnp.asarray(edges), jnp.asarray(origin), jnp.asarray(extent), rng)
+    logits = np.asarray(jax.device_get(logits))
+    n_over = int(np.asarray(jax.device_get(overflow)).sum())
+    if n_over:
+        import warnings
+        warnings.warn(
+            f"resident-ml: {n_over} boundary rows overflowed the per-face "
+            f"ghost buffer (ghost_cap); decoder read stale/zero ghosts — "
+            f"raise ghost_cap", RuntimeWarning, stacklevel=2)
 
     C = logits.shape[-1]
     out = np.zeros((xyz.shape[0], C), logits.dtype)

@@ -1,0 +1,107 @@
+"""F-22: fully-resident spatially-sharded TRAINING (SURVEY §2.4).
+
+The reference trains on fixed-size crops because one 2019 GPU fit them
+(SURVEY §2.3 F-12); its only parallelism is replicated data parallelism
+(F-19). The TPU-native extension trains on WHOLE scenes whose dense level
+never exists on any single chip: the tier-2 resident forward
+(`parallel/resident.py`) runs with BatchNorm in batch mode, the loss is
+masked to each shard's OWNED points, and XLA inserts the gradient psum over
+ICI because the params are replicated while logits are sharded. BN running
+statistics are pmean'd across shards inside the forward (the standard
+cross-replica BN approximation of data parallelism).
+
+Scenes are partitioned host-side once per step (`partition_scene`); the
+train CLI drives this via `train.py --spatial resident`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gridgcn_tpu.configs.base import Config
+from gridgcn_tpu.ops.voxelize import grid_bounds
+from gridgcn_tpu.parallel.mesh import DATA_AXIS
+from gridgcn_tpu.parallel.resident import make_resident_forward, resident_halo
+from gridgcn_tpu.parallel.spatial import partition_scene
+from gridgcn_tpu.train.steps import TrainState
+
+
+def make_spatial_train_step(cfg: Config, mesh: Mesh, sched=None,
+                            class_weights: Optional[jax.Array] = None):
+    """Jitted (state, scene_batch, rng) → (state, metrics) step over the
+    tier-2 resident forward. `scene_batch` comes from `shard_scene_batch`:
+    sx [D,cap,3], sm [D,cap], owned [D,cap], label [D,cap], plus edges /
+    origin / vsize."""
+    fwd = make_resident_forward(cfg, mesh, train=True)
+    num_classes = cfg.model.num_classes
+
+    def step(state: TrainState, batch: dict, rng: jax.Array):
+        key = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            logits, stats = fwd(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["sx"], batch["sm"], batch["edges"], batch["origin"],
+                batch["vsize"], key)
+            logits = logits.astype(jnp.float32)
+            onehot = jax.nn.one_hot(batch["label"], num_classes,
+                                    dtype=logits.dtype)
+            ce = optax.softmax_cross_entropy(logits, onehot)
+            w = batch["owned"].astype(ce.dtype)
+            if class_weights is not None:
+                w = w * jnp.sum(onehot * class_weights.astype(ce.dtype), -1)
+            loss = jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1e-6)
+            n = jnp.maximum(jnp.sum(batch["owned"]), 1)
+            acc = jnp.sum(jnp.where(batch["owned"],
+                                    jnp.argmax(logits, -1) == batch["label"],
+                                    False)) / n
+            return loss, (acc, stats)
+
+        (loss, (acc, stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        from gridgcn_tpu.parallel.resident import _merge_stats
+        new_stats = _merge_stats(dict(state.batch_stats), stats)
+        state = state.replace(batch_stats=new_stats)
+        metrics = {"loss": loss, "acc": acc,
+                   "grad_norm": optax.global_norm(grads)}
+        if sched is not None:
+            metrics["lr"] = sched(state.step)
+        return state, metrics
+
+    return jax.jit(step)
+
+
+def shard_scene_batch(cfg: Config, xyz: np.ndarray, labels: np.ndarray,
+                      mask: np.ndarray, mesh: Mesh, capacity: int) -> dict:
+    """Host-side: partition one scene into per-shard slabs + ghost strips
+    and stage it on the mesh. Labels ride the same scatter as points;
+    ghost rows carry owned=False so they never contribute to the loss."""
+    D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    res0 = cfg.model.layers[0].resolution
+
+    origin, vsize = grid_bounds(jnp.asarray(xyz)[None],
+                                jnp.asarray(mask)[None], res0)
+    origin = np.asarray(origin)[0]
+    vsize = np.asarray(vsize)[0]
+
+    sx, sm, owned, sidx, edges = partition_scene(
+        xyz, mask, D, resident_halo(cfg, vsize), capacity)
+    slab_labels = labels[sidx] * sm    # padded rows → label 0, owned=False
+
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    return {
+        "sx": jax.device_put(sx, sh),
+        "sm": jax.device_put(sm, sh),
+        "owned": jax.device_put(owned, sh),
+        "label": jax.device_put(slab_labels.astype(np.int32), sh),
+        "edges": jnp.asarray(edges),
+        "origin": jnp.asarray(origin),
+        "vsize": jnp.asarray(vsize),
+    }

@@ -80,7 +80,7 @@ def evaluate(ckpt_dir: str, latency: bool = False, votes: int = 1,
 
 def evaluate_whole_scenes(ckpt_dir: str, votes: int = 3, mesh_devices: int = 0,
                           resident: bool = False, resident_ml: bool = False,
-                          log_path=None):
+                          log_path=None, voxel_size: float = 0.05):
     """Whole-scene segmentation eval (SURVEY §3.4): every scene is fed at
     full size (optionally spatially sharded across the mesh) `votes` times
     with different CAGQ keys; per-point logits are averaged (the reference's
@@ -88,7 +88,7 @@ def evaluate_whole_scenes(ckpt_dir: str, votes: int = 3, mesh_devices: int = 0,
     import numpy as np
 
     from gridgcn_tpu.parallel.mesh import make_mesh
-    from gridgcn_tpu.parallel.spatial import sharded_scene_apply
+    from gridgcn_tpu.parallel.spatial import required_halo, sharded_scene_apply
 
     cfg = CheckpointManager.load_config(ckpt_dir)
     if cfg.model.task != "seg":
@@ -109,7 +109,9 @@ def evaluate_whole_scenes(ckpt_dir: str, votes: int = 3, mesh_devices: int = 0,
     mesh = make_mesh(mesh_devices) if mesh_devices else None
 
     cm = jnp.zeros((cfg.model.num_classes, cfg.model.num_classes), jnp.int32)
-    from gridgcn_tpu.train.metrics import confusion_matrix
+    vox_cm = np.zeros((cfg.model.num_classes, cfg.model.num_classes),
+                      np.int64)
+    from gridgcn_tpu.train.metrics import confusion_matrix, voxel_confusion
 
     fwd = jax.jit(lambda x, m, k: model.apply(
         variables, x, None, m, train=False, rngs={"cagq": k}))
@@ -144,7 +146,7 @@ def evaluate_whole_scenes(ckpt_dir: str, votes: int = 3, mesh_devices: int = 0,
             elif mesh is not None:
                 logits = sharded_scene_apply(
                     lambda x, m: fwd_sharded(x, m, key), xyz, mask, mesh,
-                    halo=float(np.ptp(xyz[:, 0])) / 8,
+                    halo=required_halo(cfg, float(np.ptp(xyz, axis=0).max())),
                     capacity=xyz.shape[0],
                     num_outputs=cfg.model.num_classes)
             else:
@@ -153,11 +155,94 @@ def evaluate_whole_scenes(ckpt_dir: str, votes: int = 3, mesh_devices: int = 0,
         cm = cm + confusion_matrix(
             jnp.asarray(acc_logits)[None], jnp.asarray(labels)[None],
             cfg.model.num_classes, jnp.asarray(mask)[None])
+        # reference ScanNet metric: per-VOXEL accuracy (predictions
+        # projected onto a voxel grid, one vote per occupied voxel)
+        vox_cm = vox_cm + voxel_confusion(
+            xyz, acc_logits, labels, mask, voxel_size,
+            cfg.model.num_classes)
     s_ = summarize_confusion(cm)
+    sv = summarize_confusion(jnp.asarray(vox_cm, jnp.float32))
+    s_["voxel_acc"] = sv["overall_acc"]
     log.log("whole_scene_eval", scenes=val_ds.size, votes=votes,
             overall_acc=float(s_["overall_acc"]),
             mean_class_acc=float(s_["mean_class_acc"]),
-            miou=float(s_["miou"]))
+            miou=float(s_["miou"]),
+            voxel_size=voxel_size,
+            voxel_acc=float(sv["overall_acc"]))
+    log.close()
+    return s_
+
+
+def evaluate_s3dis_rooms(ckpt_dir: str, votes: int = 1, log_path=None,
+                         quant: float = 1e-3):
+    """S3DIS room-level evaluation (SURVEY §2.3 F-16 'whole-scene evaluation
+    by block-merging'): every test block is forwarded, block logits are
+    merged back into whole rooms by quantized room-frame position (feats
+    cols 3:6 carry normalized room xyz — the PointNet-lineage layout,
+    data/s3dis.py), with logit voting where blocks overlap, and mIoU is
+    scored over merged room points."""
+    import numpy as np
+
+    from gridgcn_tpu.data.s3dis import load_s3dis_rooms
+    from gridgcn_tpu.train.metrics import merge_block_logits
+
+    cfg = CheckpointManager.load_config(ckpt_dir)
+    if cfg.model.task != "seg":
+        raise ValueError("room-level eval is a segmentation protocol")
+    log = MetricLogger(log_path)
+
+    model, variables = init_model(cfg, seed=cfg.train.seed)
+    state = create_train_state(cfg, model, variables, steps_per_epoch=1)
+    ckpt = CheckpointManager(ckpt_dir, cfg, keep=cfg.train.keep_ckpts)
+    restored = ckpt.restore(state)
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+    state = restored["state"]
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    xyz, feats, labels, room_ids, names = load_s3dis_rooms(
+        cfg.data.root, "test", cfg.data.num_points)
+    C = cfg.model.num_classes
+    fwd = jax.jit(lambda x, f, m, k: model.apply(
+        variables, x, f, m, train=False, rngs={"cagq": k}))
+
+    cm = jnp.zeros((C, C), jnp.int32)
+    B = cfg.data.eval_batch_size
+    from gridgcn_tpu.train.metrics import confusion_matrix
+    for r in range(len(names)):
+        sel = np.nonzero(room_ids == r)[0]
+        blk_logits = np.zeros((len(sel), xyz.shape[1], C), np.float32)
+        for i0 in range(0, len(sel), B):
+            idx = sel[i0:i0 + B]
+            pad = B - len(idx)
+            bx = np.concatenate([xyz[idx], np.zeros((pad, *xyz.shape[1:]),
+                                                    xyz.dtype)])
+            bf = np.concatenate([feats[idx],
+                                 np.zeros((pad, *feats.shape[1:]),
+                                          feats.dtype)])
+            bm = np.ones((B, xyz.shape[1]), bool)
+            acc = None
+            for v in range(votes):
+                lg = np.asarray(fwd(bx, bf, bm,
+                                    jax.random.PRNGKey(1000 * r + v)))
+                acc = lg if acc is None else acc + lg
+            blk_logits[i0:i0 + len(idx)] = acc[:len(idx)]
+        # merge on normalized room xyz (feature cols 3:6)
+        pos = feats[sel][..., 3:6]
+        masks = np.ones(pos.shape[:2], bool)
+        merged, first = merge_block_logits(pos, blk_logits, masks,
+                                           quant=quant)
+        room_labels = labels[sel].reshape(-1)[first]
+        cm = cm + confusion_matrix(
+            jnp.asarray(merged)[None], jnp.asarray(room_labels)[None], C,
+            jnp.ones((1, len(merged)), bool))
+    s_ = summarize_confusion(cm)
+    log.log("s3dis_room_eval", rooms=len(names), votes=votes,
+            overall_acc=float(s_["overall_acc"]),
+            mean_class_acc=float(s_["mean_class_acc"]),
+            miou=float(s_["miou"]),
+            iou_per_class=[round(float(x), 4)
+                           for x in s_["iou_per_class"]])
     log.close()
     return s_
 
@@ -173,6 +258,12 @@ def main(argv=None):
     p.add_argument("--latency", action="store_true")
     p.add_argument("--whole-scene", action="store_true",
                    help="full-scene seg eval with logit voting")
+    p.add_argument("--s3dis-rooms", action="store_true",
+                   help="S3DIS room-level block-merging eval (mIoU over "
+                        "rooms reassembled from blocks)")
+    p.add_argument("--voxel-size", type=float, default=0.05,
+                   help="whole-scene: grid size for the per-voxel accuracy "
+                        "metric (ScanNet protocol)")
     p.add_argument("--votes", type=int, default=None,
                    help="whole-scene: CAGQ-seed voting rounds (default 3); "
                         "standard eval: up-axis rotation-voting rounds "
@@ -189,16 +280,24 @@ def main(argv=None):
                         "ride ppermute between layers (F-22 tier 3)")
     p.add_argument("--log", default=None)
     args = p.parse_args(argv)
-    if args.whole_scene:
+    if args.votes is not None and args.votes < 1:
+        p.error(f"--votes must be >= 1, got {args.votes}")
+    if args.s3dis_rooms:
+        evaluate_s3dis_rooms(args.ckpt_dir,
+                             votes=1 if args.votes is None else args.votes,
+                             log_path=args.log)
+    elif args.whole_scene:
         evaluate_whole_scenes(args.ckpt_dir,
-                              votes=args.votes if args.votes else 3,
+                              votes=3 if args.votes is None else args.votes,
                               mesh_devices=args.mesh,
                               resident=args.resident,
                               resident_ml=args.resident_ml,
-                              log_path=args.log)
+                              log_path=args.log,
+                              voxel_size=args.voxel_size)
     else:
         evaluate(args.ckpt_dir, latency=args.latency,
-                 votes=args.votes if args.votes else 1, log_path=args.log)
+                 votes=1 if args.votes is None else args.votes,
+                 log_path=args.log)
 
 
 if __name__ == "__main__":

@@ -182,6 +182,8 @@ def make_voting_eval_step(cfg: Config, model: nn.Module, votes: int):
     axis and fresh CAGQ randomness is drawn; logits are averaged before the
     confusion matrix. votes=1 ≡ build_eval_step."""
 
+    geo = tuple(cfg.data.feat_geo_channels)
+
     def step(state: TrainState, batch: dict, rng: jax.Array):
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
@@ -192,8 +194,16 @@ def make_voting_eval_step(cfg: Config, model: nn.Module, votes: int):
             c, s = jnp.cos(theta), jnp.sin(theta)
             rot = jnp.asarray([[c, 0.0, s], [0.0, 1.0, 0.0],
                                [-s, 0.0, c]], xyz.dtype)
+            feat = batch.get("feat", None)
+            if feat is not None and geo:
+                # rotate xyz-like feature columns (cfg.data.feat_geo_channels,
+                # e.g. s3dis normalized room xyz) with the cloud so every
+                # vote sees consistent inputs (ADVICE r1 #1)
+                assert len(geo) == 3, "feat_geo_channels must name 3 columns"
+                gidx = jnp.asarray(geo)
+                feat = feat.at[..., gidx].set(feat[..., gidx] @ rot)
             logits = model.apply(
-                variables, xyz @ rot, batch.get("feat", None),
+                variables, xyz @ rot, feat,
                 batch["mask"], train=False,
                 rngs={"cagq": jax.random.fold_in(rng, v)})
             acc = logits if acc is None else acc + logits

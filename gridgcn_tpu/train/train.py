@@ -125,6 +125,80 @@ def train(cfg: Config, mesh_devices: int = 0, log_path: str | None = None):
     return state
 
 
+def train_spatial(cfg: Config, mesh_devices: int,
+                  log_path: str | None = None, capacity: int = 0):
+    """Fully-resident spatially-sharded training (F-22): each training
+    example is ONE whole scene partitioned into slabs across the mesh; the
+    loss is owned-point-masked CE; gradients psum over ICI (see
+    parallel/spatial_train.py). Augmentation is host-side-off in v1 (a
+    rotation would have to precede partitioning)."""
+    from gridgcn_tpu.parallel.spatial_train import (
+        make_spatial_train_step, shard_scene_batch)
+
+    if cfg.model.task != "seg":
+        raise ValueError("--spatial training is a segmentation protocol")
+    log = MetricLogger(log_path)
+    log.log("config", name=cfg.name, config=to_json(cfg), spatial=True)
+
+    train_ds = make_dataset(cfg.data, "train", cfg.model.num_classes,
+                            cfg.model.task)
+    steps_per_epoch = cfg.train.steps_per_epoch or train_ds.size
+    model, variables = init_model(cfg, seed=cfg.train.seed)
+    state = create_train_state(cfg, model, variables, steps_per_epoch)
+    _, sched = make_optimizer(cfg, steps_per_epoch)
+    mesh = make_mesh(mesh_devices)
+    D = mesh_devices
+    N = cfg.data.num_points
+    if not capacity:
+        # tier-2 halo is thin (finest-grid reach), so 2×share + rounding
+        # headroom holds typical scenes; a denser slab falls back to N
+        capacity = min(N, ((2 * N // D + 255) // 256) * 256)
+
+    step = make_spatial_train_step(cfg, mesh, sched)
+    ckpt = CheckpointManager(cfg.train.ckpt_dir, cfg, keep=cfg.train.keep_ckpts)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    restored = ckpt.restore(state, rng)
+    start_epoch = 0
+    if restored is not None:
+        state, rng = restored["state"], restored.get("rng", rng)
+        start_epoch = int(state.step) // max(train_ds.size, 1)
+        log.log("restore", step=int(state.step), epoch=start_epoch)
+
+    mask_full = np.ones(N, bool)
+    for epoch in range(start_epoch, cfg.train.epochs):
+        t_ep = time.time()
+        losses, accs = [], []
+        order = np.random.default_rng(cfg.train.seed + epoch).permutation(
+            train_ds.size)
+        for s_i in order:
+            xyz = train_ds.points[s_i]
+            labels = train_ds.labels[s_i]
+            try:
+                batch = shard_scene_batch(cfg, xyz, labels, mask_full,
+                                          mesh, capacity)
+            except ValueError:   # dense slab overflowed the capacity
+                batch = shard_scene_batch(cfg, xyz, labels, mask_full,
+                                          mesh, N)
+            state, m = step(state, batch, rng)
+            losses.append(m["loss"])
+            accs.append(m["acc"])
+            if int(state.step) % cfg.train.log_every == 0:
+                log.log("train_step", step=int(state.step),
+                        loss=float(m["loss"]), acc=float(m["acc"]),
+                        grad_norm=float(m["grad_norm"]))
+        log.log("epoch", epoch=epoch,
+                loss=float(np.mean(jax.device_get(losses))),
+                acc=float(np.mean(jax.device_get(accs))),
+                points_per_sec=train_ds.size * N
+                / max(time.time() - t_ep, 1e-9))
+        if (epoch + 1) % cfg.train.ckpt_every == 0                 or epoch == cfg.train.epochs - 1:
+            ckpt.save(int(state.step), jax.device_get(state),
+                      jax.device_get(rng))
+    ckpt.wait()
+    log.close()
+    return state
+
+
 def main(argv=None):
     # some PJRT plugins (e.g. tunneled TPU backends) ignore the JAX_PLATFORMS
     # env var — honor it explicitly so CPU-mesh runs work from the CLI
@@ -136,6 +210,12 @@ def main(argv=None):
                    choices=sorted(presets.PRESETS))
     p.add_argument("--mesh", type=int, default=0,
                    help="devices for data-parallel mesh (0 = single device)")
+    p.add_argument("--spatial", choices=["resident"], default=None,
+                   help="with --mesh N: fully-resident spatially-sharded "
+                        "training — each example is one whole scene "
+                        "partitioned across the mesh (F-22)")
+    p.add_argument("--spatial-capacity", type=int, default=0,
+                   help="per-shard point capacity (0 = auto)")
     p.add_argument("--log", default=None, help="JSONL metrics file")
     p.add_argument("overrides", nargs="*",
                    help="config overrides, e.g. train.lr=3e-4")
@@ -145,7 +225,13 @@ def main(argv=None):
     cfg = presets.get(args.preset)
     if args.overrides:
         cfg = apply_overrides(cfg, parse_cli_overrides(args.overrides))
-    train(cfg, mesh_devices=args.mesh, log_path=args.log)
+    if args.spatial:
+        if not args.mesh:
+            p.error("--spatial requires --mesh N")
+        train_spatial(cfg, mesh_devices=args.mesh, log_path=args.log,
+                      capacity=args.spatial_capacity)
+    else:
+        train(cfg, mesh_devices=args.mesh, log_path=args.log)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,124 @@
+"""F-16 reference eval protocols: ScanNet per-voxel accuracy and S3DIS
+room-level block-merging (VERDICT r1 missing #3/#4), on synthetic stand-ins."""
+
+import dataclasses
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gridgcn_tpu.configs import presets
+from gridgcn_tpu.configs.base import DataConfig
+from gridgcn_tpu.train.metrics import merge_block_logits, voxel_confusion
+
+
+def test_voxel_confusion_majority_votes():
+    # two voxels (1m grid): voxel A has 3 points (labels 0,0,1 / preds 0,1,1),
+    # voxel B has 1 point (label 2, pred 2)
+    xyz = np.array([[0.1, 0.1, 0.1], [0.2, 0.1, 0.1], [0.3, 0.2, 0.1],
+                    [5.0, 0.1, 0.1]], np.float32)
+    labels = np.array([0, 0, 1, 2])
+    preds = np.array([0, 1, 1, 2])
+    logits = np.eye(3, dtype=np.float32)[preds]
+    cm = voxel_confusion(xyz, logits, labels, np.ones(4, bool),
+                         voxel_size=1.0, num_classes=3)
+    # voxel A: majority label 0; pred histogram {0:1, 1:2} → majority pred 1
+    # voxel B: label 2, pred 2
+    expect = np.zeros((3, 3), np.int64)
+    expect[0, 1] = 1
+    expect[2, 2] = 1
+    np.testing.assert_array_equal(cm, expect)
+
+
+def test_voxel_confusion_density_invariance():
+    """1000 points in one voxel count exactly once — the metric's point."""
+    rng = np.random.default_rng(0)
+    xyz = np.concatenate([rng.uniform(0, 0.9, (1000, 3)),
+                          np.array([[3.0, 0.0, 0.0]])]).astype(np.float32)
+    labels = np.concatenate([np.zeros(1000, np.int64), [1]])
+    logits = np.eye(2, dtype=np.float32)[labels]
+    cm = voxel_confusion(xyz, logits, labels, np.ones(1001, bool),
+                         voxel_size=1.0, num_classes=2)
+    assert cm.sum() == 2 and cm[0, 0] == 1 and cm[1, 1] == 1
+
+
+def test_merge_block_logits_votes_overlaps():
+    # two blocks sharing one physical point (same quantized position):
+    # its logits must SUM; distinct points pass through
+    pos = np.array([[[0.10, 0.2, 0.3], [0.40, 0.5, 0.6]],
+                    [[0.10, 0.2, 0.3], [0.70, 0.8, 0.9]]], np.float32)
+    logits = np.array([[[1.0, 0.0], [0.0, 2.0]],
+                       [[3.0, 0.0], [0.0, 4.0]]], np.float32)
+    masks = np.ones((2, 2), bool)
+    merged, first = merge_block_logits(pos, logits, masks, quant=1e-3)
+    assert merged.shape == (3, 2)
+    key = np.round(pos.reshape(-1, 3) / 1e-3).astype(np.int64)
+    uniq = np.unique(key, axis=0)
+    # find the shared point's row
+    shared = np.round(np.array([0.10, 0.2, 0.3]) / 1e-3).astype(np.int64)
+    row = np.nonzero((uniq == shared).all(1))[0][0]
+    np.testing.assert_allclose(merged[row], [4.0, 0.0])   # 1.0 + 3.0
+    assert merged.sum() == 1 + 2 + 3 + 4
+    # first-occurrence indices point at real flat rows with matching pos
+    flat_pos = pos.reshape(-1, 3)
+    np.testing.assert_allclose(flat_pos[first], uniq * 1e-3, atol=1e-6)
+
+
+def _tiny_s3dis_cfg(tmp_path):
+    base = presets.get("synthetic_tiny_seg")
+    model = dataclasses.replace(base.model, in_channels=6, num_classes=4)
+    data = DataConfig(dataset="s3dis", root=str(tmp_path), num_points=128,
+                      batch_size=2, eval_batch_size=2, augment=False,
+                      num_feats=6, feat_geo_channels=(3, 4, 5))
+    return dataclasses.replace(base, name="s3dis_tiny", model=model,
+                               data=data)
+
+
+def _write_fake_s3dis(tmp_path, n_blocks=6, n_points=128, n_rooms=2):
+    """Blocks of 9-dim points (xyz, rgb, normalized room xyz) over 2 rooms,
+    quadrant labels in room frame; adjacent blocks share boundary points."""
+    rng = np.random.default_rng(0)
+    d = tmp_path / "s3dis"
+    d.mkdir(parents=True, exist_ok=True)
+    pts = np.zeros((n_blocks, n_points, 9), np.float32)
+    labels = np.zeros((n_blocks, n_points), np.int32)
+    rooms = np.repeat(np.arange(n_rooms), n_blocks // n_rooms)
+    for b in range(n_blocks):
+        norm_xyz = rng.uniform(0, 1, (n_points, 3)).astype(np.float32)
+        pts[b, :, :3] = norm_xyz * 2.0      # room-frame xyz (2m room)
+        pts[b, :, 3:6] = rng.uniform(0, 1, (n_points, 3))   # rgb
+        pts[b, :, 6:9] = norm_xyz
+        labels[b] = ((norm_xyz[:, 0] > 0.5) * 2
+                     + (norm_xyz[:, 1] > 0.5)).astype(np.int32)
+    np.save(d / "s3dis_test_points.npy", pts)
+    np.save(d / "s3dis_test_labels.npy", labels)
+    np.save(d / "s3dis_test_rooms.npy", rooms)
+    np.save(d / "s3dis_train_points.npy", pts)
+    np.save(d / "s3dis_train_labels.npy", labels)
+
+
+def test_s3dis_room_eval_end_to_end(tmp_path):
+    """evaluate --s3dis-rooms runs the merge protocol on a fake dataset and
+    emits finite room-merged metrics."""
+    from gridgcn_tpu.models.build import init_model
+    from gridgcn_tpu.train.evaluate import evaluate_s3dis_rooms
+    from gridgcn_tpu.train.steps import create_train_state
+    from gridgcn_tpu.utils.checkpoint import CheckpointManager
+
+    _write_fake_s3dis(tmp_path)
+    cfg = _tiny_s3dis_cfg(tmp_path)
+    model, variables = init_model(cfg)
+    state = create_train_state(cfg, model, variables, steps_per_epoch=1)
+    ckpt_dir = tmp_path / "ck"
+    ckpt = CheckpointManager(str(ckpt_dir), cfg, keep=1)
+    ckpt.save(0, jax.device_get(state), jax.device_get(jax.random.PRNGKey(0)))
+    ckpt.wait()
+
+    log = tmp_path / "rooms.jsonl"
+    s = evaluate_s3dis_rooms(str(ckpt_dir), votes=1, log_path=str(log))
+    assert np.isfinite(float(s["miou"]))
+    rec = [json.loads(l) for l in open(log)
+           if json.loads(l).get("kind") == "s3dis_room_eval"]
+    assert rec and rec[0]["rooms"] == 2
+    assert 0.0 <= rec[0]["overall_acc"] <= 1.0

@@ -195,8 +195,9 @@ def test_exchange_boundary_ships_band_rows():
 
     def f(x, ft, v, e):
         d = jax.lax.axis_index(DATA_AXIS)
-        g_xyz, g_feat, g_ok, _ = exchange_boundary(
+        g_xyz, g_feat, g_ok, _, dropped = exchange_boundary(
             x[0], ft[0], v[0], e[d], e[d + 1], 0.2, H, DATA_AXIS)
+        assert dropped.shape == ()
         return g_xyz[None], g_feat[None], g_ok[None]
 
     g_xyz, g_feat, g_ok = jax.jit(shard_map(
@@ -277,8 +278,8 @@ def test_resident_ml_forward_trainable():
 
     def loss(params):
         v = {**variables, "params": params}
-        logits = fwd(v, sxd, smd, jnp.asarray(edges),
-                     jnp.asarray(origin)[0], jnp.asarray(extent), key)
+        logits, _ = fwd(v, sxd, smd, jnp.asarray(edges),
+                        jnp.asarray(origin)[0], jnp.asarray(extent), key)
         return jnp.sum(jnp.where(jnp.asarray(owned)[..., None],
                                  logits.astype(jnp.float32) ** 2, 0.0))
 
@@ -286,3 +287,165 @@ def test_resident_ml_forward_trainable():
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(bool(jnp.isfinite(g).all()) for g in leaves)
     assert any(float(jnp.abs(g).sum()) > 0 for g in leaves)
+
+
+# ---------------------------------------------------------------------------
+# Value equivalence: sharded tiers vs the single-device forward (VERDICT r1
+# next-round #2). CAGQ center sampling is seed- and shard-local by design, so
+# bitwise equality across tiers is not defined; the contract asserted here is
+# STATISTICAL: on a trained model, vote-averaged owned-point predictions from
+# each tier must agree with the single-device vote-averaged predictions at
+# least as well as two independent single-device vote rounds agree with each
+# other (minus a small slack), and per-tier accuracy must match single-device
+# accuracy closely.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def trained_seg_setup():
+    from gridgcn_tpu.data.pipeline import make_dataset
+    from gridgcn_tpu.train.steps import create_train_state, make_train_step
+
+    cfg = presets.get("synthetic_tiny_seg")
+    model, variables = init_model(cfg)
+    ds = make_dataset(cfg.data, "train", cfg.model.num_classes, "seg")
+    state = create_train_state(cfg, model, variables,
+                               ds.steps_per_epoch(cfg.data.batch_size))
+    step = make_train_step(cfg, model, donate=False)
+    rng = jax.random.PRNGKey(0)
+    for epoch in range(3):
+        for batch in ds.batches(cfg.data.batch_size, seed=epoch):
+            state, m = step(state, {k: jnp.asarray(v)
+                                    for k, v in batch.items()}, rng)
+    assert float(m["acc"]) > 0.8, "seg model failed to train for equivalence test"
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    # one synthetic scene, quadrant labels (same generator as the train set)
+    rng_np = np.random.default_rng(42)
+    N = 1600
+    xyz = rng_np.uniform(-1, 1, size=(N, 3)).astype(np.float32)
+    labels = ((xyz[:, 0] > 0).astype(np.int32) * 2
+              + (xyz[:, 1] > 0).astype(np.int32)) % cfg.model.num_classes
+    mask = np.ones(N, bool)
+
+    fwd = jax.jit(lambda x, m, k: model.apply(
+        variables, x, None, m, train=False, rngs={"cagq": k}))
+
+    def single_device_votes(seed0, votes=6):
+        acc = None
+        for v in range(votes):
+            lg = np.asarray(fwd(xyz[None], mask[None],
+                                jax.random.PRNGKey(seed0 + v)))[0]
+            acc = lg if acc is None else acc + lg
+        return acc
+
+    ref = single_device_votes(0)
+    ref2 = single_device_votes(1000)
+    self_agree = float(np.mean(ref.argmax(-1) == ref2.argmax(-1)))
+    ref_acc = float(np.mean(ref.argmax(-1) == labels))
+    assert ref_acc > 0.85, f"single-device scene acc only {ref_acc}"
+    return dict(cfg=cfg, variables=variables, xyz=xyz, labels=labels,
+                mask=mask, ref=ref, self_agree=self_agree, ref_acc=ref_acc)
+
+
+def _check_equiv(name, logits, setup, slack=0.05):
+    pred = logits.argmax(-1)
+    ref_pred = setup["ref"].argmax(-1)
+    agree = float(np.mean(pred == ref_pred))
+    acc = float(np.mean(pred == setup["labels"]))
+    floor = setup["self_agree"] - slack
+    assert agree >= floor, (
+        f"{name}: argmax agreement with single-device {agree:.4f} below "
+        f"single-device self-agreement floor {floor:.4f}")
+    assert abs(acc - setup["ref_acc"]) <= slack, (
+        f"{name}: accuracy {acc:.4f} vs single-device {setup['ref_acc']:.4f}")
+
+
+def test_tier1_slab_equivalence(trained_seg_setup):
+    """Tier 1 (slab + full-receptive-field halo re-run) ≡ single device."""
+    from gridgcn_tpu.parallel.spatial import required_halo
+
+    s = trained_seg_setup
+    cfg, xyz, mask = s["cfg"], s["xyz"], s["mask"]
+    mesh = make_mesh(4)
+    model, _ = init_model(cfg)
+    halo = required_halo(cfg, float(np.ptp(xyz, axis=0).max()))
+    acc = None
+    for v in range(6):
+        key = jax.random.PRNGKey(2000 + v)
+        fwd = jax.jit(lambda x, m, k=key: model.apply(
+            s["variables"], x, None, m, train=False, rngs={"cagq": k}))
+        lg = sharded_scene_apply(fwd, xyz, mask, mesh, halo=halo,
+                                 capacity=xyz.shape[0],
+                                 num_outputs=cfg.model.num_classes)
+        acc = lg if acc is None else acc + lg
+    _check_equiv("tier1", acc, s)
+
+
+def test_tier2_resident_equivalence(trained_seg_setup):
+    """Tier 2 (dense-sharded / coarse-replicated) ≡ single device."""
+    from gridgcn_tpu.parallel.resident import (
+        make_resident_forward, resident_seg_predict)
+
+    s = trained_seg_setup
+    cfg, xyz, mask = s["cfg"], s["xyz"], s["mask"]
+    mesh = make_mesh(4)
+    fwd = make_resident_forward(cfg, mesh)
+    acc = None
+    for v in range(6):
+        lg = resident_seg_predict(cfg, s["variables"], xyz, mask, mesh,
+                                  capacity=xyz.shape[0],
+                                  rng=jax.random.PRNGKey(3000 + v), fwd=fwd)
+        acc = lg if acc is None else acc + lg
+    _check_equiv("tier2", acc, s)
+
+
+def test_tier3_resident_ml_equivalence(trained_seg_setup):
+    """Tier 3 (every level sharded, ppermute feature halos) ≡ single device."""
+    from gridgcn_tpu.parallel.resident_ml import (
+        make_resident_ml_forward, resident_ml_seg_predict)
+
+    s = trained_seg_setup
+    cfg, xyz, mask = s["cfg"], s["xyz"], s["mask"]
+    mesh = make_mesh(4)
+    fwd = make_resident_ml_forward(cfg, mesh)
+    acc = None
+    for v in range(6):
+        lg = resident_ml_seg_predict(cfg, s["variables"], xyz, mask, mesh,
+                                     capacity=xyz.shape[0],
+                                     rng=jax.random.PRNGKey(4000 + v),
+                                     fwd=fwd)
+        acc = lg if acc is None else acc + lg
+    _check_equiv("tier3", acc, s)
+
+
+def test_spatial_training_learns_and_is_deterministic(tmp_path):
+    """F-22 fully-resident spatially-sharded TRAINING via the train CLI path:
+    owned-masked loss over the tier-2 forward on a 4-device mesh learns the
+    quadrant task, and a re-run with the same seed is bit-identical."""
+    from gridgcn_tpu.configs.base import apply_overrides
+    from gridgcn_tpu.train.train import train_spatial
+
+    cfg = presets.get("synthetic_tiny_seg")
+
+    def run(tag):
+        c = apply_overrides(cfg, {
+            "train.epochs": 2, "train.ckpt_dir": str(tmp_path / tag),
+            "data.num_points": 512, "train.lr": 3e-3,
+        })
+        return train_spatial(c, mesh_devices=4,
+                             log_path=str(tmp_path / f"{tag}.jsonl"))
+
+    state = run("a")
+    # learning signal: final owned-point train accuracy beats 4-class chance
+    import json
+    lines = [json.loads(l) for l in open(tmp_path / "a.jsonl")]
+    epochs = [l for l in lines if l.get("kind") == "epoch"]
+    assert epochs and epochs[-1]["acc"] > 0.6, epochs
+    # BN stats actually updated (train-mode forward ran)
+    leaves = jax.tree_util.tree_leaves(state.batch_stats)
+    assert any(float(jnp.abs(x).sum()) > 0 for x in leaves)
+
+    state_b = run("b")
+    for x, y in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
