@@ -78,10 +78,14 @@ def modelnet40_compact() -> Config:
 def s3dis_seg() -> Config:
     """BASELINE config 3: S3DIS semantic seg, 4096 pts/block, encoder-decoder."""
     layers = (
+        # cas_iters from the docs/design.md §9 study: 2 Jacobi rounds
+        # recover ~96% of sequential-CAS's coverage gain at this scale
         GridLayerSpec(resolution=32, nv=8, n_centers=1024, k_neighbors=32,
-                      sampler="cas", mlp=(64, 64), context_channels=32),
+                      sampler="cas", cas_iters=2, mlp=(64, 64),
+                      context_channels=32),
         GridLayerSpec(resolution=16, nv=8, n_centers=256, k_neighbors=32,
-                      sampler="cas", mlp=(128, 128), context_channels=64),
+                      sampler="cas", cas_iters=2, mlp=(128, 128),
+                      context_channels=64),
         GridLayerSpec(resolution=8, nv=16, n_centers=64, k_neighbors=32,
                       sampler="rvs", mlp=(256, 256), context_channels=64),
         GridLayerSpec(resolution=4, nv=32, n_centers=16, k_neighbors=16,
@@ -108,10 +112,14 @@ def s3dis_seg() -> Config:
 def scannet_seg() -> Config:
     """BASELINE config 4: ScanNet seg, 8192-pt crops, multi-scale voxel grids."""
     layers = (
+        # cas_iters from the docs/design.md §9 study: 4 Jacobi rounds
+        # recover ~96% of sequential-CAS's coverage gain at this scale
         GridLayerSpec(resolution=40, nv=8, n_centers=2048, k_neighbors=32,
-                      sampler="cas", mlp=(64, 64), context_channels=32),
+                      sampler="cas", cas_iters=4, mlp=(64, 64),
+                      context_channels=32),
         GridLayerSpec(resolution=20, nv=8, n_centers=512, k_neighbors=32,
-                      sampler="cas", mlp=(128, 128), context_channels=64),
+                      sampler="cas", cas_iters=4, mlp=(128, 128),
+                      context_channels=64),
         GridLayerSpec(resolution=10, nv=16, n_centers=128, k_neighbors=32,
                       sampler="rvs", mlp=(256, 256), context_channels=64),
         GridLayerSpec(resolution=5, nv=32, n_centers=32, k_neighbors=16,

@@ -155,8 +155,10 @@ def _gather_one(slots, key_table, key_table_pad, coord_csum, seg_pos,
         neighbor_mask = top_keys >= (1 << 29)
         neighbor_idx = jnp.where(neighbor_mask,
                                  top_keys & ((1 << idx_bits) - 1), 0)
-        node_coverage = jnp.where(
-            neighbor_mask, (top_keys >> idx_bits) & ((1 << cov_bits) - 1), 0)
+        from gridgcn_tpu.ops.voxelize import decode_coverage
+        cov_code = (top_keys >> idx_bits) & ((1 << cov_bits) - 1)
+        node_coverage = jnp.where(neighbor_mask,
+                                  decode_coverage(cov_code), 0)
         flat_keys = cand_keys.reshape(M, P * nv)
         cand_valid = flat_keys >= (1 << 29)
         cand_idx = jnp.where(cand_valid, flat_keys & ((1 << idx_bits) - 1), 0)

@@ -46,7 +46,9 @@ class VoxelTable:
       slots:       [B, V, nv] int32 or None — indices into the level's
                    point array; -1 marks an empty slot (with_slots=True).
       key_table:   [B, V, nv] int32 or None — selection keys
-                   [valid:1 | random | log2-ish coverage:6 | point index],
+                   [valid:1 | random | coverage code:6 | point index]
+                   (coverage code: exact < 32, log-quantized above —
+                   encode_coverage/decode_coverage),
                    precomputed so the F-04 approx path is run-gather + top_k
                    with zero post-selection gathers (with_keys=True).
                    Randomness is per-point (all centers rank a shared
@@ -122,6 +124,32 @@ def voxel_ids(xyz: jax.Array, mask: jax.Array, origin: jax.Array,
     return jnp.where(mask, vid, V)
 
 
+COV_BITS = 6
+
+
+def encode_coverage(count: jax.Array) -> jax.Array:
+    """6-bit coverage codec, encode side (VERDICT r1 weak #5).
+
+    Hybrid: counts < 32 are stored EXACTLY (codes 0..31); larger counts use
+    32 log-spaced codes at factor 2^(1/4) per step (codes 32..63), reaching
+    32·2^(31/4) ≈ 6889 with ≤ 10% relative decode error — whole-scene voxel
+    densities (hundreds of raw points) no longer saturate GCA's
+    coverage-attention input the way the old linear min(count, 63) clamp
+    did."""
+    count = jnp.maximum(count, 0)
+    logc = jnp.log2(jnp.maximum(count, 32).astype(jnp.float32) / 32.0)
+    code_log = 32 + jnp.round(logc * 4.0).astype(jnp.int32)
+    return jnp.where(count < 32, count, jnp.minimum(code_log, 63))
+
+
+def decode_coverage(code: jax.Array) -> jax.Array:
+    """Inverse of `encode_coverage` (exact below 32, ≤10% error above)."""
+    approx = jnp.round(
+        32.0 * jnp.exp2((code - 32).astype(jnp.float32) / 4.0)
+    ).astype(jnp.int32)
+    return jnp.where(code < 32, code, approx)
+
+
 def grid_bounds(xyz: jax.Array, mask: jax.Array, resolution: int):
     """Per-cloud grid origin and voxel size from the valid-point bounding box."""
     big = jnp.asarray(jnp.finfo(xyz.dtype).max, xyz.dtype)
@@ -193,9 +221,9 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
         # whose ordering matches the int ordering, which lets the selection
         # run through approx_max_k (PartialReduce) instead of a full sort
         idx_bits = max(1, int(N - 1).bit_length())
-        cov_bits = 6
+        cov_bits = COV_BITS
         rand_bits = max(1, 29 - idx_bits - cov_bits)
-        cov_q = jnp.minimum(seg_len, (1 << cov_bits) - 1)
+        cov_q = encode_coverage(seg_len)
         # random selection-key bits: reuse the top of the packed sort key's
         # random field (srand_bits ≥ rand_bits holds at practical N/V)
         rbits = ((sorted_skey >> max(srand_bits - rand_bits, 0))

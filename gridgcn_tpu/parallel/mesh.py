@@ -58,7 +58,16 @@ def maybe_init_distributed():
 
     Safe no-op on a single host; on a TPU pod each process calls this before
     any backend use and the mesh then spans all hosts' devices over DCN.
-    """
+    Outside managed clusters (where jax auto-detects), the launcher provides
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID explicitly
+    — e.g. the localhost CPU smoke test (tests/test_multihost.py)."""
     import os
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(nproc) if nproc else None,
+        process_id=int(pid) if pid else None)

@@ -279,25 +279,61 @@ def main(argv=None):
                         "EVERY pyramid level stays sharded; boundary halos "
                         "ride ppermute between layers (F-22 tier 3)")
     p.add_argument("--log", default=None)
+    p.add_argument("--target", default=None,
+                   choices=["modelnet40", "s3dis", "scannet"],
+                   help="parity gate: compare the protocol's metric against "
+                        "the reference's published number "
+                        "(tests/golden/accuracy_targets.json) and exit "
+                        "nonzero below it")
     args = p.parse_args(argv)
     if args.votes is not None and args.votes < 1:
         p.error(f"--votes must be >= 1, got {args.votes}")
     if args.s3dis_rooms:
-        evaluate_s3dis_rooms(args.ckpt_dir,
-                             votes=1 if args.votes is None else args.votes,
-                             log_path=args.log)
+        s = evaluate_s3dis_rooms(args.ckpt_dir,
+                                 votes=1 if args.votes is None else args.votes,
+                                 log_path=args.log)
     elif args.whole_scene:
-        evaluate_whole_scenes(args.ckpt_dir,
-                              votes=3 if args.votes is None else args.votes,
-                              mesh_devices=args.mesh,
-                              resident=args.resident,
-                              resident_ml=args.resident_ml,
-                              log_path=args.log,
-                              voxel_size=args.voxel_size)
+        s = evaluate_whole_scenes(args.ckpt_dir,
+                                  votes=3 if args.votes is None else args.votes,
+                                  mesh_devices=args.mesh,
+                                  resident=args.resident,
+                                  resident_ml=args.resident_ml,
+                                  log_path=args.log,
+                                  voxel_size=args.voxel_size)
     else:
-        evaluate(args.ckpt_dir, latency=args.latency,
-                 votes=1 if args.votes is None else args.votes,
-                 log_path=args.log)
+        s = evaluate(args.ckpt_dir, latency=args.latency,
+                     votes=1 if args.votes is None else args.votes,
+                     log_path=args.log)
+    if args.target:
+        check_target(args.target, s)
+
+
+def check_target(name: str, summary: dict):
+    """Reference-parity gate (VERDICT r1 next-round #5): compares the
+    protocol's metric against the published target recorded in
+    tests/golden/accuracy_targets.json and exits nonzero when below it, so
+    'data mounted' → 'parity verified' is one evaluate command."""
+    import json
+    import os
+    import sys
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))),
+        "tests", "golden", "accuracy_targets.json")
+    spec = json.load(open(path))[name]
+    metric, target = spec["metric"], float(spec["target"])
+    if metric not in summary:
+        print(f"PARITY {name}: metric '{metric}' not produced by this "
+              f"protocol — run the protocol in accuracy_targets.json: "
+              f"{spec.get('protocol')}", file=sys.stderr)
+        raise SystemExit(2)
+    value = float(summary[metric])
+    ok = value >= target
+    print(f"PARITY {name}: {metric}={value:.4f} "
+          f"{'>=' if ok else '<'} target {target:.4f} → "
+          f"{'PASS' if ok else 'FAIL'}")
+    if not ok:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -80,3 +80,63 @@ def brute_force_knn(query: np.ndarray, support: np.ndarray,
     d2[:, ~support_mask] = np.inf
     idx = np.argsort(d2, axis=1)[:, :k]
     return idx, np.take_along_axis(d2, idx, axis=1)
+
+
+def cas_gauss_seidel(occ_vids: np.ndarray, M: int, resolution: int,
+                     context: int, rng: np.random.Generator,
+                     iters: int = 1):
+    """Sequential (Gauss-Seidel) CAS, the reference's CUDA loop shape
+    (SURVEY §2.1 F-03, paper §3.1): one challenge at a time, coverage counts
+    updated after EVERY accepted swap. The production sampler is
+    batched-Jacobi (ops/sampling.py); this oracle quantifies the fidelity
+    gap (docs/design.md §9 study, VERDICT r1 next-round #10).
+
+    Returns selected voxel ids [<=M]."""
+    V = resolution ** 3
+    r = (context - 1) // 2
+
+    def ctx(v):
+        x, y, z = vid_coords(np.array(v), resolution)
+        out = []
+        for dx in range(-r, r + 1):
+            nx = x + dx
+            if not 0 <= nx < resolution:
+                continue
+            for dy in range(-r, r + 1):
+                ny = y + dy
+                if not 0 <= ny < resolution:
+                    continue
+                for dz in range(-r, r + 1):
+                    nz = z + dz
+                    if 0 <= nz < resolution:
+                        out.append(((nx * resolution) + ny) * resolution + nz)
+        return out
+
+    occ = np.asarray(occ_vids)
+    if len(occ) <= M:
+        return occ.copy()
+    sel = rng.choice(occ, M, replace=False)
+    sel_set = set(int(v) for v in sel)
+    C = np.zeros(V, np.int64)
+    for v in sel:
+        for u in ctx(v):
+            C[u] += 1
+
+    sel = list(sel_set)
+    for _ in range(iters):
+        challengers = rng.permutation([v for v in occ
+                                       if int(v) not in sel_set])
+        for chal in challengers:
+            i = rng.integers(0, len(sel))
+            inc = sel[i]
+            h_add = sum(1 for u in ctx(chal) if C[u] == 0)
+            h_rmv = sum(1 for u in ctx(inc) if C[u] == 1)
+            if h_add > h_rmv:
+                for u in ctx(inc):
+                    C[u] -= 1
+                for u in ctx(chal):
+                    C[u] += 1
+                sel_set.discard(int(inc))
+                sel_set.add(int(chal))
+                sel[i] = int(chal)
+    return np.asarray(sel)

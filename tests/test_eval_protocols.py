@@ -3,6 +3,7 @@ room-level block-merging (VERDICT r1 missing #3/#4), on synthetic stand-ins."""
 
 import dataclasses
 import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -122,3 +123,45 @@ def test_s3dis_room_eval_end_to_end(tmp_path):
            if json.loads(l).get("kind") == "s3dis_room_eval"]
     assert rec and rec[0]["rooms"] == 2
     assert 0.0 <= rec[0]["overall_acc"] <= 1.0
+
+
+def test_target_gate_pass_fail(capsys):
+    from gridgcn_tpu.train.evaluate import check_target
+
+    check_target("s3dis", {"miou": 0.60})          # above 0.5775 → no raise
+    out = capsys.readouterr().out
+    assert "PASS" in out
+    import pytest as _pytest
+    with _pytest.raises(SystemExit) as e:
+        check_target("s3dis", {"miou": 0.10})
+    assert e.value.code == 1
+    with _pytest.raises(SystemExit) as e:          # wrong protocol → code 2
+        check_target("scannet", {"miou": 0.9})
+    assert e.value.code == 2
+
+
+def test_prepare_scannet_pickle_roundtrip(tmp_path):
+    """scripts/prepare_data.py converts reference-lineage pickles to the
+    loader's npy layout, and the loader reads the result."""
+    import pickle
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from scripts.prepare_data import scannet_from_pickle
+
+    from gridgcn_tpu.data.scannet import load_scannet
+
+    rng = np.random.default_rng(0)
+    scenes = [rng.uniform(0, 5, (n, 6)).astype(np.float32)
+              for n in (300, 450)]
+    labels = [rng.integers(0, 21, n).astype(np.int32) for n in (300, 450)]
+    pk = tmp_path / "scannet_test.pickle"
+    with open(pk, "wb") as f:
+        pickle.dump((scenes, labels), f)
+
+    rc = scannet_from_pickle(str(tmp_path), str(pk), "test")
+    assert rc == 0
+    pts, labs = load_scannet(str(tmp_path), "test", 256)
+    assert pts.shape == (2, 256, 3) and labs.shape == (2, 256)
+    assert np.isfinite(pts).all()

@@ -133,7 +133,7 @@ def test_padding_invariance(rng_key):
 
 def test_packed_key_selection_invariants(rng_key):
     """approx_select packed-key path: nodes valid, within context, coverage
-    payload correct (quantized at 63), deterministic."""
+    payload correct (hybrid log codec), deterministic."""
     spec = GridLayerSpec(resolution=8, nv=4, n_centers=48, k_neighbors=16,
                          approx_select=True)
     xyz = jax.random.uniform(rng_key, (2, 400, 3), minval=-1, maxval=1)
@@ -152,8 +152,11 @@ def test_packed_key_selection_invariants(rng_key):
         d = oracle_np.chebyshev_voxel_dist(
             node_vids, np.repeat(cvid[b][:, None], 16, 1)[nm[b]], 8)
         assert (d <= 1).all()
-        np.testing.assert_array_equal(
-            ncov[b][nm[b]], np.minimum(cov[b][node_vids], 63))
+        from gridgcn_tpu.ops.voxelize import (decode_coverage,
+                                               encode_coverage)
+        expect = np.asarray(decode_coverage(encode_coverage(
+            jnp.asarray(cov[b][node_vids]))))
+        np.testing.assert_array_equal(ncov[b][nm[b]], expect)
     out2 = cagq(xyz, mask, spec, rng_key)
     np.testing.assert_array_equal(np.asarray(out2.groups.neighbor_idx), nidx)
 

@@ -64,7 +64,41 @@ def test_cas_coverage_geq_rvs(rng_key):
             np.asarray(rv)[0], np.asarray(rvalid)[0], resolution, context))
         cas_cov.append(oracle_np.covered_voxels(
             np.asarray(cv)[0], np.asarray(cvalid)[0], resolution, context))
-    assert np.mean(cas_cov) >= np.mean(rvs_cov)
+    # tightened from >= (VERDICT r1 next-round #10): the docs/design.md §9
+    # study measured batched-Jacobi(4) at 96-102% of sequential
+    # Gauss-Seidel's coverage gain (+13-28% over RVS at preset scales);
+    # demand a real margin here, not mere non-regression
+    assert np.mean(cas_cov) >= 1.03 * np.mean(rvs_cov), (
+        np.mean(cas_cov), np.mean(rvs_cov))
+
+
+def test_cas_jacobi_recovers_gauss_seidel_gap(rng_key):
+    """docs/design.md §9: batched-Jacobi CAS (the TPU-shaped sampler) must
+    recover >=85% of the sequential Gauss-Seidel oracle's coverage gain
+    over RVS. A GS pass issues |unselected| challenges while a Jacobi round
+    issues M, so rounds needed scale with occ/M: at preset scales (M=1-2k,
+    occ/M≈2) 2-4 rounds suffice (measured 96-103%, scripts/cas_study.py);
+    at this test's occ/M≈13 it takes 16."""
+    resolution, context, M = 12, 3, 96
+    rec = []
+    for t in range(3):
+        key = jax.random.PRNGKey(40 + t)
+        table, _, _ = _table(key, B=1, N=1500, resolution=resolution)
+        occ = np.nonzero(np.asarray(table.coverage)[0] > 0)[0]
+        rv, rvalid = sample_centers_rvs(table, M, key)
+        rvs = oracle_np.covered_voxels(
+            np.asarray(rv)[0], np.asarray(rvalid)[0], resolution, context)
+        cv, cvalid = sample_centers_cas(table, M, key, context=context,
+                                        cas_iters=16)
+        jac = oracle_np.covered_voxels(
+            np.asarray(cv)[0], np.asarray(cvalid)[0], resolution, context)
+        sel = oracle_np.cas_gauss_seidel(
+            occ, M, resolution, context, np.random.default_rng(t), iters=2)
+        gs = oracle_np.covered_voxels(
+            sel, np.ones(len(sel), bool), resolution, context)
+        if gs > rvs:
+            rec.append((jac - rvs) / (gs - rvs))
+    assert rec and np.mean(rec) >= 0.85, rec
 
 
 def test_sampling_determinism(rng_key):
