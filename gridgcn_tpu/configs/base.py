@@ -46,6 +46,11 @@ class GridLayerSpec:
     # a different random node subset; occasionally <K nodes when the pool
     # is barely larger than K) instead of an exact row sort
     approx_topk: bool = False
+    # compute node_xyz inside the selection (combined [key|x|y|z] table +
+    # exact one-hot key-match einsum) instead of a post-selection
+    # [M·K]-row gather; bit-exact, wins on layers whose node_xyz is
+    # consumed directly (layer 0 / xyz-prefix input)
+    coord_match: bool = False
 
     # --- GCA (aggregation) side ---
     mlp: Tuple[int, ...] = (64, 64)   # edge-MLP channel stack (last = output width)

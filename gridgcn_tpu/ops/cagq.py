@@ -52,7 +52,8 @@ def cagq(xyz: jax.Array, mask: jax.Array, spec: GridLayerSpec,
                               with_keys=use_packed,
                               with_slots=not use_packed,
                               bounds=bounds,
-                              key_pad=(r, spec.context))
+                              key_pad=(r, spec.context),
+                              sel_coords=use_packed and spec.coord_match)
 
     if spec.sampler == "rvs":
         center_vids, center_valid = sample_centers_rvs(

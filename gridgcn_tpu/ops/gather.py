@@ -60,15 +60,20 @@ class GroupedNodes:
     cand_valid: jax.Array | None = None   # (return_candidates=True only)
 
 
-def _gather_one(slots, key_table, key_table_pad, coord_csum, seg_pos,
-                occupancy, coverage,
+def _gather_one(slots, key_table, key_table_pad, sel_table_pad,
+                coord_csum, seg_pos, occupancy, coverage,
                 xyz, center_vids, center_valid, key, resolution: int, K: int,
                 context: int, center_mode: str, origin, vsize,
                 approx: bool = False, return_candidates: bool = False,
                 approx_topk: bool = False, use_z_window: bool = False):
     """Single-cloud gather; vmapped over the batch."""
     V = resolution ** 3
-    nv = (key_table if slots is None else slots).shape[-1]
+    if slots is not None:
+        nv = slots.shape[-1]
+    elif sel_table_pad is not None:
+        nv = sel_table_pad.shape[-1] // 4
+    else:
+        nv = key_table.shape[-1]
     M = center_vids.shape[0]
     P = context ** 3
 
@@ -121,6 +126,66 @@ def _gather_one(slots, key_table, key_table_pad, coord_csum, seg_pos,
             return windowed[flat_base]
         return jax.vmap(lambda b: jax.lax.dynamic_slice_in_dim(
             padded, b, context, 0))(flat_base)
+
+    if approx and sel_table_pad is not None:
+        # Combined-table path (coord_match): ONE context-run gather fetches
+        # [key | x | y | z] quads (row-rate-bound, so 4x width is free;
+        # the [rows, 128] table needs no relayout — see voxelize.py);
+        # after top-k, winner coordinates come from an EXACT one-hot
+        # key-match einsum instead of a [M*K]-row gather — selection keys
+        # are unique (they embed the point index), so each valid winner
+        # matches exactly one candidate, and coordinates ride as bf16
+        # triple-splits (8+8+8 >= 24 mantissa bits => bit-exact f32).
+        runs = run_gather(sel_table_pad).reshape(M, P2, context, 32, 4)
+        if nv < 32:
+            runs = runs[:, :, :, :nv]       # drop always-empty slot quads
+        runs = runs.reshape(M, P, nv, 4)
+        runs = jnp.where(inb[..., None, None], runs, 0)
+        cand_keys = runs[..., 0].reshape(M, P * nv)
+        if approx_topk:
+            vals, _ = jax.lax.approx_max_k(
+                jax.lax.bitcast_convert_type(cand_keys, jnp.float32), kk)
+            top_keys = jax.lax.bitcast_convert_type(vals, jnp.int32)
+        else:
+            top_keys, _ = jax.lax.top_k(cand_keys, kk)
+        if kk < K:
+            top_keys = jnp.pad(top_keys, ((0, 0), (0, K - kk)))
+        neighbor_mask = top_keys >= (1 << 29)
+        neighbor_idx = jnp.where(neighbor_mask,
+                                 top_keys & ((1 << idx_bits) - 1), 0)
+        from gridgcn_tpu.ops.voxelize import decode_coverage
+        cov_code = (top_keys >> idx_bits) & ((1 << cov_bits) - 1)
+        node_coverage = jnp.where(neighbor_mask,
+                                  decode_coverage(cov_code), 0)
+
+        cand_xyz = jax.lax.bitcast_convert_type(
+            runs[..., 1:4].reshape(M, P * nv, 3), jnp.float32)
+        # exact bf16 triple-split (lax.reduce_precision, NOT a bf16
+        # round-trip — XLA's simplifier folds those; see knn.py)
+        hi = jax.lax.reduce_precision(cand_xyz, 8, 7)
+        r1 = cand_xyz - hi
+        mid = jax.lax.reduce_precision(r1, 8, 7)
+        lo_ = (r1 - mid).astype(jnp.bfloat16)
+        terms = jnp.concatenate(
+            [hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16), lo_],
+            axis=-1)                                   # [M, C, 9]
+        eq = (top_keys[:, :, None] == cand_keys[:, None, :])             & neighbor_mask[..., None]
+        got = jnp.einsum("mkc,mcd->mkd", eq.astype(jnp.bfloat16), terms,
+                         preferred_element_type=jnp.float32)
+        node_xyz = (got[..., 0:3] + got[..., 3:6]) + got[..., 6:9]
+        node_xyz = jnp.where(neighbor_mask[..., None], node_xyz, 0.0)
+
+        cand_valid = cand_keys >= (1 << 29)
+        cand_idx = jnp.where(cand_valid,
+                             cand_keys & ((1 << idx_bits) - 1), 0)
+        center_xyz = center_positions(
+            coord_csum, seg_pos, occupancy, center_vids, center_valid,
+            resolution, center_mode, origin, vsize)
+        out = (neighbor_idx, neighbor_mask, node_xyz, node_coverage,
+               center_xyz)
+        if return_candidates:
+            out = out + (cand_idx, cand_valid)
+        return out
 
     if approx and key_table is not None:
         # Packed-key selection: the voxel table carries precomputed int32
@@ -262,11 +327,13 @@ def gather_nodes(table: VoxelTable, xyz: jax.Array, center_vids: jax.Array,
     # see run_gather: layout economics flip with vmap
     use_z_window = (B > 1) if z_window is None else z_window
     outs = jax.vmap(
-        lambda s, kt, ktp, cs, sp, oc, c, x, cv, va, k, o, vs: _gather_one(
-            s, kt, ktp, cs, sp, oc, c, x, cv, va, k, table.resolution, K,
+        lambda s, kt, ktp, st, cs, sp, oc, c, x, cv, va, k, o, vs:
+        _gather_one(
+            s, kt, ktp, st, cs, sp, oc, c, x, cv, va, k, table.resolution, K,
             context, center_mode, o, vs, approx, return_candidates,
             approx_topk, use_z_window))(
-        table.slots, table.key_table, table.key_table_pad, table.coord_csum,
+        table.slots, table.key_table, table.key_table_pad,
+        table.sel_table_pad, table.coord_csum,
         table.seg_pos, table.occupancy, table.coverage, xyz, center_vids,
         center_valid, keys, table.origin, table.vsize)
     nidx, nmask, nxyz, ncov, cxyz = outs[:5]

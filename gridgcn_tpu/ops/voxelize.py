@@ -108,6 +108,9 @@ class VoxelTable:
     resolution: int = struct.field(pytree_node=False)
     nv: int = struct.field(pytree_node=False)
     key_table_pad: jax.Array | None = None
+    # combined [rows, nv*4] selection table (slot-major [key|x|y|z] quads,
+    # coords bitcast f32→i32) for the coord_match gather path
+    sel_table_pad: jax.Array | None = None
 
     @property
     def num_voxels(self) -> int:
@@ -164,7 +167,8 @@ def grid_bounds(xyz: jax.Array, mask: jax.Array, resolution: int):
 def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
                resolution: int, nv: int, with_coords: bool, with_keys: bool,
                with_slots: bool, origin=None, vsize=None,
-               key_pad: tuple[int, int] = (0, 0)):
+               key_pad: tuple[int, int] = (0, 0),
+               sel_coords: bool = False):
     """Single-cloud table build; vmapped over the batch."""
     N = xyz.shape[0]
     V = resolution ** 3
@@ -237,14 +241,49 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
         lo, hi = key_pad
         rows = lo + V + hi
         kdest = jnp.where(keep, dest + lo * nv, rows * nv)
-        key_table_pad = jnp.zeros((rows * nv + 1,), jnp.int32).at[kdest].set(
-            keys, unique_indices=True)
-        key_table_pad = key_table_pad[: rows * nv].reshape(rows, nv)
-        key_table = key_table_pad[lo:lo + V]
-        if lo == 0 and hi == 0:
-            key_table_pad = None
+        if not sel_coords:
+            key_table_pad = jnp.zeros((rows * nv + 1,), jnp.int32
+                                      ).at[kdest].set(
+                keys, unique_indices=True)
+            key_table_pad = key_table_pad[: rows * nv].reshape(rows, nv)
+            key_table = key_table_pad[lo:lo + V]
+            if lo == 0 and hi == 0:
+                key_table_pad = None
 
     coords = xyz[sorted_pidx]                                    # [N, 3]
+
+    sel_table_pad = None
+    if with_keys and sel_coords:
+        # Combined selection table [rows, 128]: each voxel's row carries up
+        # to 32 slot quads [key | x | y | z] (coords bitcast f32→i32) at
+        # col = slot*4 — exactly one native 128-lane row per voxel, so the
+        # scatter needs no lane padding (a [*, 4]-shaped operand would be
+        # tiled 4→128, a 32× write blowup) and the consumer's context-run
+        # gather is a clean (context, 128) dynamic slice with no relayout.
+        # One window-4 row scatter — scatter cost is ROW-rate-bound, so
+        # carrying the coordinates is free. This is what kills the
+        # post-selection [M·K]-row winner-coords gather (docs/design.md §8
+        # parked lead, landed via one-hot key-match extraction in
+        # ops/gather.py).
+        if nv > 32:
+            raise ValueError(f"sel_coords supports nv <= 32, got {nv}")
+        cbits = jax.lax.bitcast_convert_type(
+            coords.astype(jnp.float32), jnp.int32)               # [N, 3]
+        quad = jnp.concatenate([keys[:, None], cbits], axis=1)   # [N, 4]
+        vrow = jnp.where(keep, sorted_vid + lo, rows + 1)  # OOB => dropped
+        col = jnp.minimum(rank, nv - 1) * 4
+        sel_table_pad = jax.lax.scatter(
+            jnp.zeros((rows, 128), jnp.int32),
+            jnp.stack([vrow, col], axis=-1), quad,
+            jax.lax.ScatterDimensionNumbers(
+                update_window_dims=(1,),
+                inserted_window_dims=(0,),
+                scatter_dims_to_operand_dims=(0, 1)),
+            indices_are_sorted=False, unique_indices=True,
+            mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
+        # key-only view for samplers/tests (strided slice; only
+        # materialized if consumed)
+        key_table = sel_table_pad.reshape(rows, 32, 4)[lo:lo + V, :nv, 0]
 
     # Barycenter inputs (see VoxelTable.coord_csum): prefix sums of
     # voxel-center residuals in sorted order. Residuals are ≤ vsize/2 per
@@ -281,14 +320,16 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
         seg_start, unique_indices=True)
     occupancy = jnp.minimum(coverage, nv)
     return (slots, key_table, key_table_pad, coord_table, coord_csum,
-            seg_pos, occupancy, coverage, vid, sorted_vid, origin, vsize)
+            seg_pos, occupancy, coverage, vid, sorted_vid, origin, vsize,
+            sel_table_pad)
 
 
 def build_voxel_table(xyz: jax.Array, mask: jax.Array, resolution: int,
                       nv: int, key: jax.Array, with_coords: bool = False,
                       with_keys: bool = False, with_slots: bool = True,
                       bounds=None,
-                      key_pad: tuple[int, int] = (0, 0)) -> VoxelTable:
+                      key_pad: tuple[int, int] = (0, 0),
+                      sel_coords: bool = False) -> VoxelTable:
     """Build fixed-capacity voxel tables for a batch of point clouds.
 
     Args:
@@ -312,22 +353,24 @@ def build_voxel_table(xyz: jax.Array, mask: jax.Array, resolution: int,
     rand = jax.random.bits(key, (B, N))   # random per-voxel retention order
     if bounds is not None:
         (slots, ktab, ktab_p, ctab, csum, spos, occ, cov, vid, svid, origin,
-         vsize) = jax.vmap(
+         vsize, stab) = jax.vmap(
             lambda x, m, r, o, vs: _build_one(
                 x, m, r, resolution, nv, with_coords, with_keys, with_slots,
-                origin=o, vsize=vs, key_pad=key_pad))(
+                origin=o, vsize=vs, key_pad=key_pad, sel_coords=sel_coords))(
             xyz, mask, rand, bounds[0], bounds[1])
     else:
         (slots, ktab, ktab_p, ctab, csum, spos, occ, cov, vid, svid, origin,
-         vsize) = jax.vmap(
+         vsize, stab) = jax.vmap(
             lambda x, m, r: _build_one(x, m, r, resolution, nv, with_coords,
                                        with_keys, with_slots,
-                                       key_pad=key_pad))(xyz, mask, rand)
+                                       key_pad=key_pad,
+                                       sel_coords=sel_coords))(
+            xyz, mask, rand)
     return VoxelTable(slots=slots, key_table=ktab, coord_table=ctab,
                       coord_csum=csum, seg_pos=spos, occupancy=occ,
                       coverage=cov, point_vid=vid, sorted_vid=svid,
                       origin=origin, vsize=vsize, resolution=resolution,
-                      nv=nv, key_table_pad=ktab_p)
+                      nv=nv, key_table_pad=ktab_p, sel_table_pad=stab)
 
 
 def capacity_stats(table: VoxelTable) -> dict:

@@ -221,3 +221,45 @@ def test_z_window_path_matches_slice_gather_path(rng_key):
                        (a.node_coverage, b.node_coverage),
                        (a.node_xyz, b.node_xyz)]:
             np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_coord_match_is_bit_exact(rng_key):
+    """coord_match (combined [key|x|y|z] table + one-hot key-match einsum)
+    must reproduce the key-table path EXACTLY: same selection, and node_xyz
+    bit-identical to the gathered coordinates (bf16 triple-split is
+    lossless for f32)."""
+    base = dict(resolution=8, nv=4, n_centers=48, k_neighbors=16,
+                approx_select=True)
+    for approx_topk in (False, True):
+        for z_window in (False, True):
+            sa = GridLayerSpec(**base, approx_topk=approx_topk)
+            sb = GridLayerSpec(**base, approx_topk=approx_topk,
+                               coord_match=True)
+            xyz = jax.random.uniform(rng_key, (2, 400, 3), minval=-1,
+                                     maxval=1)
+            mask = jnp.ones((2, 400), bool).at[:, 380:].set(False)
+            from gridgcn_tpu.ops.voxelize import build_voxel_table
+            from gridgcn_tpu.ops.sampling import sample_centers_rvs
+            from gridgcn_tpu.ops.gather import gather_nodes
+
+            kw = dict(key_pad=(1, 3), with_slots=False, with_keys=True)
+            ta = build_voxel_table(xyz, mask, 8, 4, jax.random.PRNGKey(7),
+                                   **kw)
+            tb = build_voxel_table(xyz, mask, 8, 4, jax.random.PRNGKey(7),
+                                   sel_coords=True, **kw)
+            cvid, cvalid = sample_centers_rvs(ta, 48, jax.random.PRNGKey(3))
+            gkw = dict(K=16, context=3, key=jax.random.PRNGKey(11),
+                       approx=True, approx_topk=approx_topk,
+                       z_window=z_window)
+            ga = gather_nodes(ta, xyz, cvid, cvalid, **gkw)
+            gb = gather_nodes(tb, xyz, cvid, cvalid, **gkw)
+            np.testing.assert_array_equal(np.asarray(ga.neighbor_idx),
+                                          np.asarray(gb.neighbor_idx))
+            np.testing.assert_array_equal(np.asarray(ga.neighbor_mask),
+                                          np.asarray(gb.neighbor_mask))
+            np.testing.assert_array_equal(np.asarray(ga.node_coverage),
+                                          np.asarray(gb.node_coverage))
+            np.testing.assert_array_equal(np.asarray(ga.node_xyz),
+                                          np.asarray(gb.node_xyz))
+            np.testing.assert_allclose(np.asarray(ga.center_xyz),
+                                       np.asarray(gb.center_xyz))
