@@ -122,12 +122,14 @@ def refresh_ghosts(feat_own, send, axis_name):
 
 
 def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap: int = 0,
-                             axis_name: str = DATA_AXIS):
+                             axis_name: str = DATA_AXIS,
+                             train: bool = False):
     """Build the jitted fully-sharded multi-level forward.
 
     Returns fwd(variables, shard_xyz [D,cap,3], shard_mask [D,cap],
                 edges [D+1], origin [3], extent [3], rng)
               -> (logits [D, cap, num_classes], ghost_overflow [D] int32)
+              -> (logits, ghost_overflow, batch_stats)       (train=True)
     with the leading axes sharded over `axis_name`; ghost-point logits are
     meaningless (mask with `owned`). `ghost_cap` = per-face ghost buffer
     rows per level (default: half the shard's center share).
@@ -156,8 +158,24 @@ def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap: int = 0,
     def shard_fn(variables, sx, sm, edges, origin, extent, rng):
         d = jax.lax.axis_index(axis_name)
         lo, hi = edges[d], edges[d + 1]
-        rngs = lambda i: {"cagq": jax.random.fold_in(
-            jax.random.fold_in(rng, i), d)}
+
+        def rngs(i):
+            r = {"cagq": jax.random.fold_in(
+                jax.random.fold_in(rng, i), d)}
+            if train and cfg.model.dropout > 0:
+                r["dropout"] = jax.random.fold_in(rng, 55_000 + i)
+            return r
+
+        stats: dict = {}
+
+        def apply(*args, method, rngs=None):
+            if not train:
+                return model.apply(*args, method=method, rngs=rngs)
+            out, mut = model.apply(*args, method=method, rngs=rngs,
+                                   mutable=["batch_stats"])
+            from gridgcn_tpu.parallel.resident import _merge_stats
+            _merge_stats(stats, mut["batch_stats"])
+            return out
 
         def bounds_for(spec):
             vsize = extent * (1.0 + 1e-5) / spec.resolution
@@ -175,8 +193,8 @@ def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap: int = 0,
         xyz, feat, valid = sx, feat0, sm
         for i in range(n_layers):
             bounds, vsize = bounds_for(specs[i])
-            c_xyz, c_feat, c_valid = model.apply(
-                variables, i, xyz, feat, valid, False, bounds,
+            c_xyz, c_feat, c_valid = apply(
+                variables, i, xyz, feat, valid, train, bounds,
                 method="encode_layer", rngs=rngs(i))
             cx = c_xyz[0, :, 0]
             own = c_valid[0] & (cx >= lo) & (cx < hi)
@@ -203,9 +221,9 @@ def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap: int = 0,
         c_mask = levels[-1][2][None]
         for i in range(n_layers):
             d_xyz, d_feat, d_valid, d_owned, d_send = levels[-2 - i]
-            new_feat = model.apply(
+            new_feat = apply(
                 variables, i, c_xyz, c_feat, c_mask,
-                d_xyz, d_feat, d_valid[None], False,
+                d_xyz, d_feat, d_valid[None], train,
                 method="decode_stage", rngs=rngs(100 + i))
             if d_send is not None:
                 # own rows precede the 2H ghost rows by construction;
@@ -216,13 +234,20 @@ def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap: int = 0,
                 new_feat = jnp.concatenate([own_feat, g_new])[None]
             c_xyz, c_feat, c_mask = d_xyz, new_feat, d_valid[None]
 
-        logits = model.apply(variables, c_feat, False, method="head_logits")
-        return logits, overflow[None]
+        logits = apply(variables, c_feat, train, method="head_logits",
+                       rngs=rngs(200))
+        if not train:
+            return logits, overflow[None]
+        stats_mean = jax.tree.map(
+            lambda x: jax.lax.pmean(x, axis_name), stats)
+        return logits, overflow[None], stats_mean
 
+    out_specs = ((P(axis_name), P(axis_name), P()) if train
+                 else (P(axis_name), P(axis_name)))
     fwd = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name), P(), P(), P(), P()),
-        out_specs=(P(axis_name), P(axis_name)),
+        out_specs=out_specs,
         check_vma=False)
     return jax.jit(fwd)
 

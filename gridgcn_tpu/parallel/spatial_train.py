@@ -33,22 +33,34 @@ from gridgcn_tpu.train.steps import TrainState
 
 
 def make_spatial_train_step(cfg: Config, mesh: Mesh, sched=None,
-                            class_weights: Optional[jax.Array] = None):
+                            class_weights: Optional[jax.Array] = None,
+                            tier: str = "resident"):
     """Jitted (state, scene_batch, rng) → (state, metrics) step over the
-    tier-2 resident forward. `scene_batch` comes from `shard_scene_batch`:
-    sx [D,cap,3], sm [D,cap], owned [D,cap], label [D,cap], plus edges /
-    origin / vsize."""
-    fwd = make_resident_forward(cfg, mesh, train=True)
+    tier-2 (`tier="resident"`) or tier-3 (`tier="resident_ml"`) forward.
+    `scene_batch` comes from `shard_scene_batch`: sx [D,cap,3], sm [D,cap],
+    owned [D,cap], label [D,cap], plus edges / origin / vsize / extent."""
+    if tier == "resident":
+        fwd = make_resident_forward(cfg, mesh, train=True)
+    elif tier == "resident_ml":
+        from gridgcn_tpu.parallel.resident_ml import make_resident_ml_forward
+        fwd = make_resident_ml_forward(cfg, mesh, train=True)
+    else:
+        raise ValueError(f"unknown spatial tier: {tier}")
     num_classes = cfg.model.num_classes
 
     def step(state: TrainState, batch: dict, rng: jax.Array):
         key = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
-            logits, stats = fwd(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["sx"], batch["sm"], batch["edges"], batch["origin"],
-                batch["vsize"], key)
+            v = {"params": params, "batch_stats": state.batch_stats}
+            if tier == "resident":
+                logits, stats = fwd(v, batch["sx"], batch["sm"],
+                                    batch["edges"], batch["origin"],
+                                    batch["vsize"], key)
+            else:
+                logits, _overflow, stats = fwd(
+                    v, batch["sx"], batch["sm"], batch["edges"],
+                    batch["origin"], batch["extent"], key)
             logits = logits.astype(jnp.float32)
             onehot = jax.nn.one_hot(batch["label"], num_classes,
                                     dtype=logits.dtype)
@@ -104,4 +116,5 @@ def shard_scene_batch(cfg: Config, xyz: np.ndarray, labels: np.ndarray,
         "edges": jnp.asarray(edges),
         "origin": jnp.asarray(origin),
         "vsize": jnp.asarray(vsize),
+        "extent": jnp.asarray(vsize * res0 / (1.0 + 1e-5)),
     }

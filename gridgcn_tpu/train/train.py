@@ -126,7 +126,8 @@ def train(cfg: Config, mesh_devices: int = 0, log_path: str | None = None):
 
 
 def train_spatial(cfg: Config, mesh_devices: int,
-                  log_path: str | None = None, capacity: int = 0):
+                  log_path: str | None = None, capacity: int = 0,
+                  tier: str = "resident"):
     """Fully-resident spatially-sharded training (F-22): each training
     example is ONE whole scene partitioned into slabs across the mesh; the
     loss is owned-point-masked CE; gradients psum over ICI (see
@@ -154,7 +155,7 @@ def train_spatial(cfg: Config, mesh_devices: int,
         # headroom holds typical scenes; a denser slab falls back to N
         capacity = min(N, ((2 * N // D + 255) // 256) * 256)
 
-    step = make_spatial_train_step(cfg, mesh, sched)
+    step = make_spatial_train_step(cfg, mesh, sched, tier=tier)
     ckpt = CheckpointManager(cfg.train.ckpt_dir, cfg, keep=cfg.train.keep_ckpts)
     rng = jax.random.PRNGKey(cfg.train.seed)
     restored = ckpt.restore(state, rng)
@@ -210,7 +211,8 @@ def main(argv=None):
                    choices=sorted(presets.PRESETS))
     p.add_argument("--mesh", type=int, default=0,
                    help="devices for data-parallel mesh (0 = single device)")
-    p.add_argument("--spatial", choices=["resident"], default=None,
+    p.add_argument("--spatial", choices=["resident", "resident-ml"],
+                   default=None,
                    help="with --mesh N: fully-resident spatially-sharded "
                         "training — each example is one whole scene "
                         "partitioned across the mesh (F-22)")
@@ -229,7 +231,8 @@ def main(argv=None):
         if not args.mesh:
             p.error("--spatial requires --mesh N")
         train_spatial(cfg, mesh_devices=args.mesh, log_path=args.log,
-                      capacity=args.spatial_capacity)
+                      capacity=args.spatial_capacity,
+                      tier=args.spatial.replace("-", "_"))
     else:
         train(cfg, mesh_devices=args.mesh, log_path=args.log)
 

@@ -449,3 +449,25 @@ def test_spatial_training_learns_and_is_deterministic(tmp_path):
     for x, y in zip(jax.tree_util.tree_leaves(state.params),
                     jax.tree_util.tree_leaves(state_b.params)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_spatial_training_tier3(tmp_path):
+    """Tier-3 (resident-ml) spatially-sharded training: one epoch runs,
+    loss is finite, and BN statistics update through the ppermute halos."""
+    from gridgcn_tpu.configs.base import apply_overrides
+    from gridgcn_tpu.train.train import train_spatial
+
+    cfg = presets.get("synthetic_tiny_seg")
+    cfg = apply_overrides(cfg, {
+        "train.epochs": 1, "train.ckpt_dir": str(tmp_path / "ck3"),
+        "data.num_points": 512, "train.lr": 3e-3,
+    })
+    state = train_spatial(cfg, mesh_devices=4,
+                          log_path=str(tmp_path / "t3.jsonl"),
+                          tier="resident_ml")
+    import json
+    lines = [json.loads(l) for l in open(tmp_path / "t3.jsonl")]
+    ep = [l for l in lines if l.get("kind") == "epoch"]
+    assert ep and np.isfinite(ep[-1]["loss"])
+    leaves = jax.tree_util.tree_leaves(state.batch_stats)
+    assert any(float(jnp.abs(x).sum()) > 0 for x in leaves)
