@@ -210,10 +210,12 @@ def bench_cagq_vs_fps(iters: int):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch-size", type=int, default=1)
-    # 20+: each launch through a tunneled backend carries ~1.1 ms dispatch
-    # and the final scalar fetch ~25-35 ms; at iters=10 that residue reads
-    # ~0.5-1 ms/scene high (docs/design.md §7)
-    p.add_argument("--iters", type=int, default=20)
+    # 40+: each launch through a tunneled backend carries ~1.1 ms dispatch
+    # and the final scalar fetch ~25-35 ms; the fixed fetch cost amortizes
+    # over the pipelined iterations, so iters=20 reads ~1.4 ms/scene above
+    # true chip residency (trace: 13.8 ms busy vs 15.2 reported) and
+    # iters=10 ~3 ms (docs/design.md §7, §10)
+    p.add_argument("--iters", type=int, default=40)
     p.add_argument("--knn", default="auto",
                    choices=["auto", "dense", "pallas", "grid"])
     p.add_argument("--skip-modelnet", action="store_true")
