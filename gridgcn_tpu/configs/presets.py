@@ -226,6 +226,31 @@ def synthetic_tiny_seg() -> Config:
     )
 
 
+def synthetic_scene_seg() -> Config:
+    """Surface-scene segmentation stand-in (floor/ceiling/wall/object):
+    trains/evaluates whole scenes with realistic density skew when no real
+    dataset is mounted — the accuracy-regression companion to the surface
+    bench scene (VERDICT r1 next-round #5)."""
+    layers = (
+        GridLayerSpec(resolution=24, nv=16, n_centers=1024, k_neighbors=32,
+                      sampler="rvs", mlp=(64, 64), context_channels=32),
+        GridLayerSpec(resolution=12, nv=16, n_centers=256, k_neighbors=16,
+                      sampler="rvs", mlp=(128, 128), context_channels=64),
+    )
+    up_layers = (
+        UpLayerSpec(resolution=12, nv=16, mlp=(128, 128)),
+        UpLayerSpec(resolution=24, nv=16, mlp=(128, 64)),
+    )
+    return Config(
+        name="synthetic_scene_seg",
+        model=ModelConfig(task="seg", num_classes=4, layers=layers,
+                          up_layers=up_layers, head=(64,), dropout=0.0),
+        data=DataConfig(dataset="synthetic_scene", num_points=4096,
+                        batch_size=4, augment=False),
+        train=TrainConfig(epochs=20, lr=2e-3),
+    )
+
+
 PRESETS = {
     "modelnet40_full": modelnet40_full,
     "modelnet40_cas": modelnet40_cas,
@@ -233,6 +258,7 @@ PRESETS = {
     "s3dis_seg": s3dis_seg,
     "scannet_seg": scannet_seg,
     "scannet_whole_scene": scannet_whole_scene,
+    "synthetic_scene_seg": synthetic_scene_seg,
     "synthetic_tiny": synthetic_tiny,
     "synthetic_tiny_seg": synthetic_tiny_seg,
 }

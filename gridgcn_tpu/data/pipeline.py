@@ -86,6 +86,19 @@ def make_dataset(cfg: DataConfig, split: str, num_classes: int,
         pts, labels = load_scannet(root, split, cfg.num_points)
         return Dataset(pts, labels, task="seg", num_classes=21)
 
+    if cfg.dataset == "synthetic_scene":
+        # surface-like indoor scenes with part labels (floor/ceiling/wall/
+        # object) — a semantically meaningful whole-scene seg stand-in
+        # whose density statistics match real scans (data/synthetic.py)
+        n = 24 if split == "train" else 8
+        seed0 = 0 if split == "train" else 1000
+        out = [synthetic.synthetic_scene_surface(
+            cfg.num_points, seed=seed0 + i, return_labels=True)
+            for i in range(n)]
+        pts = np.stack([p for p, _ in out])
+        labels = np.stack([l for _, l in out])
+        return Dataset(pts, labels, task="seg", num_classes=4)
+
     # hermetic fallback (also cfg.dataset == 'synthetic')
     n = 64 if split == "train" else 32
     if task == "cls":

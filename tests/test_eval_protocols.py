@@ -165,3 +165,30 @@ def test_prepare_scannet_pickle_roundtrip(tmp_path):
     pts, labs = load_scannet(str(tmp_path), "test", 256)
     assert pts.shape == (2, 256, 3) and labs.shape == (2, 256)
     assert np.isfinite(pts).all()
+
+
+def test_whole_scene_eval_emits_voxel_acc(tmp_path):
+    """evaluate --whole-scene end to end on the synthetic fallback: logit
+    voting runs, and the ScanNet per-voxel accuracy metric is emitted and
+    finite alongside the point metrics."""
+    from gridgcn_tpu.models.build import init_model
+    from gridgcn_tpu.train.evaluate import evaluate_whole_scenes
+    from gridgcn_tpu.train.steps import create_train_state
+    from gridgcn_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = presets.get("synthetic_tiny_seg")
+    model, variables = init_model(cfg)
+    state = create_train_state(cfg, model, variables, steps_per_epoch=1)
+    ckpt_dir = tmp_path / "ck"
+    ckpt = CheckpointManager(str(ckpt_dir), cfg, keep=1)
+    ckpt.save(0, jax.device_get(state), jax.device_get(jax.random.PRNGKey(0)))
+    ckpt.wait()
+
+    log = tmp_path / "ws.jsonl"
+    s = evaluate_whole_scenes(str(ckpt_dir), votes=2, log_path=str(log),
+                              voxel_size=0.25)
+    assert "voxel_acc" in s and np.isfinite(float(s["voxel_acc"]))
+    rec = [json.loads(l) for l in open(log)
+           if json.loads(l).get("kind") == "whole_scene_eval"]
+    assert rec and 0.0 <= rec[0]["voxel_acc"] <= 1.0
+    assert rec[0]["votes"] == 2
