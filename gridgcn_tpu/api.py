@@ -59,6 +59,8 @@ class Predictor:
         self._fwd = jax.jit(
             lambda x, f, m, k: model.apply(
                 variables, x, f, m, train=False, rngs={"cagq": k}))
+        self._variables = variables
+        self._scene_fwd = None     # built lazily by predict_scene
 
     def __call__(self, xyz, feat=None, mask=None,
                  rng: Optional[jax.Array] = None):
@@ -98,6 +100,57 @@ class Predictor:
 
     def predict_classes(self, xyz, feat=None, mask=None):
         return np.argmax(self(xyz, feat, mask), axis=-1)
+
+    def predict_scene(self, xyz, votes: int = 1, spatial: str = "auto",
+                      rng: Optional[jax.Array] = None):
+        """Whole-scene per-point logits for ONE scene [N, 3] (seg models).
+
+        With a mesh, scenes are spatially sharded across it via the
+        fully-resident tier (F-22: `spatial='resident'|'resident_ml'`;
+        'auto' = resident_ml when every layer's center count divides the
+        shard count, else resident); without a mesh the scene runs on one
+        device. `votes` CAGQ seeds are logit-averaged (the reference's
+        whole-scene voting protocol)."""
+        if self.cfg.model.task != "seg":
+            raise ValueError("predict_scene is for segmentation models")
+        xyz = np.asarray(xyz, np.float32)
+        mask = np.ones(xyz.shape[0], bool)
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+
+        if self._mesh is None:
+            acc = None
+            for v in range(votes):
+                lg = self(xyz, rng=jax.random.fold_in(rng, v))
+                acc = lg if acc is None else acc + lg
+            return acc / votes
+
+        D = self._n_shards
+        if spatial == "auto":
+            divides = all(l.n_centers % D == 0
+                          for l in self.cfg.model.layers)
+            spatial = "resident_ml" if divides else "resident"
+        if spatial == "resident_ml":
+            from gridgcn_tpu.parallel.resident_ml import (
+                make_resident_ml_forward, resident_ml_seg_predict)
+            if self._scene_fwd is None:
+                self._scene_fwd = make_resident_ml_forward(
+                    self.cfg, self._mesh)
+            predict = resident_ml_seg_predict
+        else:
+            from gridgcn_tpu.parallel.resident import (
+                make_resident_forward, resident_seg_predict)
+            if self._scene_fwd is None:
+                self._scene_fwd = make_resident_forward(
+                    self.cfg, self._mesh)
+            predict = resident_seg_predict
+        acc = None
+        for v in range(votes):
+            lg = predict(self.cfg, self._variables, xyz, mask, self._mesh,
+                         capacity=xyz.shape[0],
+                         rng=jax.random.fold_in(rng, v),
+                         fwd=self._scene_fwd)
+            acc = lg if acc is None else acc + lg
+        return acc / votes
 
 
 def load_predictor(ckpt_dir: str, step: Optional[int] = None,

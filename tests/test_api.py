@@ -49,3 +49,37 @@ def test_predictor_mesh_matches_single_device(trained_dir):
     out4 = predict4(batch)
     assert out4.shape == out1.shape
     np.testing.assert_allclose(out1, out4, rtol=2e-4, atol=2e-4)
+
+
+def test_predict_scene_single_and_mesh(tmp_path):
+    """Serving API whole-scene path: voting single-device, and spatially
+    sharded over a 4-device mesh via the resident tiers."""
+    import jax
+    import numpy as np
+
+    from gridgcn_tpu.api import load_predictor
+    from gridgcn_tpu.configs import presets
+    from gridgcn_tpu.models.build import init_model
+    from gridgcn_tpu.train.steps import create_train_state
+    from gridgcn_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = presets.get("synthetic_tiny_seg")
+    model, variables = init_model(cfg)
+    state = create_train_state(cfg, model, variables, 1)
+    ckpt = CheckpointManager(str(tmp_path / "ck"), cfg, keep=1)
+    ckpt.save(0, jax.device_get(state), jax.device_get(jax.random.PRNGKey(0)))
+    ckpt.wait()
+
+    rng = np.random.default_rng(0)
+    xyz = rng.uniform(-1, 1, (400, 3)).astype(np.float32)
+
+    p1 = load_predictor(str(tmp_path / "ck"))
+    out = p1.predict_scene(xyz, votes=2)
+    assert out.shape == (400, cfg.model.num_classes)
+    assert np.isfinite(out).all()
+
+    pm = load_predictor(str(tmp_path / "ck"), mesh=4)
+    out_m = pm.predict_scene(xyz, votes=1)
+    assert out_m.shape == (400, cfg.model.num_classes)
+    assert np.isfinite(out_m).all()
+    assert (np.abs(out_m).sum(axis=1) > 0).all()

@@ -192,3 +192,43 @@ def test_whole_scene_eval_emits_voxel_acc(tmp_path):
            if json.loads(l).get("kind") == "whole_scene_eval"]
     assert rec and 0.0 <= rec[0]["voxel_acc"] <= 1.0
     assert rec[0]["votes"] == 2
+
+
+def test_prepare_s3dis_hdf5_roundtrip(tmp_path):
+    """scripts/prepare_data.py s3dis --from-hdf5: the standard
+    indoor3d_sem_seg_hdf5_data layout materializes to npy WITH room ids,
+    Area-5 holdout applied, and both loaders read the result."""
+    h5py = __import__("pytest").importorskip("h5py")
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from scripts.prepare_data import s3dis_from_hdf5
+
+    from gridgcn_tpu.data.s3dis import load_s3dis, load_s3dis_rooms
+
+    base = tmp_path / "s3dis"
+    h5dir = base / "indoor3d_sem_seg_hdf5_data"
+    h5dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    n_blocks, n_pts = 8, 64
+    data = rng.uniform(0, 1, (n_blocks, n_pts, 9)).astype(np.float32)
+    label = rng.integers(0, 13, (n_blocks, n_pts)).astype(np.int32)
+    with h5py.File(h5dir / "ply_data_all_0.h5", "w") as f:
+        f["data"] = data
+        f["label"] = label
+    (h5dir / "all_files.txt").write_text(
+        "indoor3d_sem_seg_hdf5_data/ply_data_all_0.h5\n")
+    rooms = ["Area_1_office_1"] * 4 + ["Area_5_office_3"] * 2 \
+        + ["Area_5_hallway_1"] * 2
+    (h5dir / "room_filelist.txt").write_text("\n".join(rooms) + "\n")
+
+    rc = s3dis_from_hdf5(str(tmp_path))
+    assert rc == 0
+    xyz, feats, labels = load_s3dis(str(tmp_path), "test", 64)
+    assert xyz.shape == (4, 64, 3) and feats.shape == (4, 64, 6)
+    xyz2, _, _, room_ids, names = load_s3dis_rooms(str(tmp_path), "test", 64)
+    assert len(names) == 2 and sorted(np.unique(room_ids)) == [0, 1]
+    # Area-5 holdout: test split carries only Area_5 blocks
+    assert all(n.startswith("Area_5") for n in names)
+    tr_xyz, _, _ = load_s3dis(str(tmp_path), "train", 64)
+    assert tr_xyz.shape[0] == 4
