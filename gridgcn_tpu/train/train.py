@@ -31,8 +31,9 @@ from gridgcn_tpu.utils.checkpoint import CheckpointManager
 from gridgcn_tpu.utils.logging import MetricLogger
 
 
-def train(cfg: Config, mesh_devices: int = 0, log_path: str | None = None):
-    log = MetricLogger(log_path)
+def train(cfg: Config, mesh_devices: int = 0, log_path: str | None = None,
+          tensorboard_dir: str | None = None):
+    log = MetricLogger(log_path, tensorboard_dir=tensorboard_dir)
     log.log("config", name=cfg.name, config=to_json(cfg))
 
     train_ds = make_dataset(cfg.data, "train", cfg.model.num_classes,
@@ -127,7 +128,8 @@ def train(cfg: Config, mesh_devices: int = 0, log_path: str | None = None):
 
 def train_spatial(cfg: Config, mesh_devices: int,
                   log_path: str | None = None, capacity: int = 0,
-                  tier: str = "resident"):
+                  tier: str = "resident",
+                  tensorboard_dir: str | None = None):
     """Fully-resident spatially-sharded training (F-22): each training
     example is ONE whole scene partitioned into slabs across the mesh; the
     loss is owned-point-masked CE; gradients psum over ICI (see
@@ -138,7 +140,7 @@ def train_spatial(cfg: Config, mesh_devices: int,
 
     if cfg.model.task != "seg":
         raise ValueError("--spatial training is a segmentation protocol")
-    log = MetricLogger(log_path)
+    log = MetricLogger(log_path, tensorboard_dir=tensorboard_dir)
     log.log("config", name=cfg.name, config=to_json(cfg), spatial=True)
 
     train_ds = make_dataset(cfg.data, "train", cfg.model.num_classes,
@@ -219,6 +221,8 @@ def main(argv=None):
     p.add_argument("--spatial-capacity", type=int, default=0,
                    help="per-shard point capacity (0 = auto)")
     p.add_argument("--log", default=None, help="JSONL metrics file")
+    p.add_argument("--tensorboard", default=None, metavar="DIR",
+                   help="also write metric scalars as TensorBoard events")
     p.add_argument("overrides", nargs="*",
                    help="config overrides, e.g. train.lr=3e-4")
     args = p.parse_args(argv)
@@ -232,9 +236,11 @@ def main(argv=None):
             p.error("--spatial requires --mesh N")
         train_spatial(cfg, mesh_devices=args.mesh, log_path=args.log,
                       capacity=args.spatial_capacity,
-                      tier=args.spatial.replace("-", "_"))
+                      tier=args.spatial.replace("-", "_"),
+                      tensorboard_dir=args.tensorboard)
     else:
-        train(cfg, mesh_devices=args.mesh, log_path=args.log)
+        train(cfg, mesh_devices=args.mesh, log_path=args.log,
+              tensorboard_dir=args.tensorboard)
 
 
 if __name__ == "__main__":

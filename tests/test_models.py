@@ -32,6 +32,31 @@ def test_segmentation_forward(rng_key):
     assert bool(jnp.isfinite(logits).all())
 
 
+def test_bfloat16_forward_matches_float32(rng_key):
+    """Mixed-precision fidelity: the headline preset (scannet_whole_scene)
+    runs the dense GCA/decoder math in bfloat16. With identical params
+    (param_dtype stays f32; only compute dtype changes) and identical CAGQ
+    indices (the index path is dtype-independent), bf16 predictions must
+    agree with f32 almost everywhere."""
+    import dataclasses
+
+    cfg = presets.get("synthetic_tiny_seg")
+    model32, variables = init_model(cfg)
+    cfg16 = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, dtype="bfloat16"))
+    model16 = build_model(cfg16.model)
+
+    xyz, feat, mask = example_inputs(cfg, batch_size=2)
+    l32 = model32.apply(variables, xyz, feat, mask, train=False, rngs=_rngs())
+    l16 = model16.apply(variables, xyz, feat, mask, train=False, rngs=_rngs())
+    assert l16.dtype == jnp.float32          # logits head stays f32
+    agree = float((jnp.argmax(l32, -1) == jnp.argmax(l16, -1)).mean())
+    assert agree >= 0.98, f"bf16 argmax agreement {agree:.4f}"
+    scale = float(jnp.abs(l32).max())
+    np.testing.assert_allclose(np.asarray(l16), np.asarray(l32),
+                               atol=0.1 * scale)
+
+
 def test_classifier_padding_invariance(rng_key):
     """Garbage in masked-out points must not change logits — the SURVEY §4.2
     mask-leak property test, end-to-end through GCA."""

@@ -54,6 +54,29 @@ def test_metric_logger_jsonl():
     assert rec["arr"] == 1.25 and rec["vec"] == [1, 2]
 
 
+def test_metric_logger_tensorboard(tmp_path):
+    """SURVEY §5 metrics: 'stdout JSONL + TensorBoard scalars' — numeric
+    metrics become scalar events readable back from the event file."""
+    tb = str(tmp_path / "tb")
+    log = MetricLogger(stream=io.StringIO(), tensorboard_dir=tb)
+    log.log("train_step", step=3, loss=0.5, note="skipped-non-numeric")
+    log.log("epoch", epoch=1, acc=0.75)
+    log.close()
+
+    import tensorflow as tf
+    files = list((tmp_path / "tb").iterdir())
+    assert files, "no TensorBoard event file written"
+    tags = {}
+    for f in files:
+        for rec in tf.data.TFRecordDataset(str(f)):
+            ev = tf.compat.v1.Event.FromString(rec.numpy())
+            for v in ev.summary.value:
+                tags[v.tag] = v.simple_value or tf.make_ndarray(v.tensor)
+    assert "train_step/loss" in tags and "epoch/acc" in tags
+    assert float(tags["train_step/loss"]) == 0.5
+    assert not any(t.endswith("note") for t in tags)
+
+
 def test_prefetcher_order_and_errors():
     """Prefetcher yields batches in order and re-raises worker exceptions."""
     from gridgcn_tpu.data.pipeline import Prefetcher
