@@ -48,12 +48,17 @@ def cagq(xyz: jax.Array, mask: jax.Array, spec: GridLayerSpec,
     # rows; scattering into the padded buffer up front removes that
     # runtime pad-concat from the hot path (ops/voxelize key_pad)
     r = (spec.context - 1) // 2
+    # the packed path never reads the raw-coverage grid (GCA coverage rides
+    # the selection keys; samplers test occupancy > 0), so its build packs
+    # seg_pos+occupancy into ONE [N]-row scatter and skips the coverage
+    # scatter (~0.35 ms/scene at whole-scene N; scatters are row-rate-bound)
     table = build_voxel_table(xyz, mask, spec.resolution, spec.nv, k_build,
                               with_keys=use_packed,
                               with_slots=not use_packed,
                               bounds=bounds,
                               key_pad=(r, spec.context),
-                              sel_coords=use_packed and spec.coord_match)
+                              sel_coords=use_packed and spec.coord_match,
+                              with_coverage=not use_packed)
 
     if spec.sampler == "rvs":
         center_vids, center_valid = sample_centers_rvs(

@@ -322,7 +322,7 @@ def gather_nodes(table: VoxelTable, xyz: jax.Array, center_vids: jax.Array,
     approx_topk=True (packed path only) selects nodes with approx_max_k
     instead of a full row sort. z_window overrides the context-run lowering
     choice (None = auto; see run_gather) — both lowerings are value-exact."""
-    B = table.coverage.shape[0]
+    B = table.occupancy.shape[0]
     keys = jax.random.split(key, B)
     # see run_gather: layout economics flip with vmap
     use_z_window = (B > 1) if z_window is None else z_window

@@ -88,14 +88,16 @@ def _rvs_one_sorted(sorted_vid: jax.Array, V: int, M: int, key: jax.Array):
 def sample_centers_rvs(table: VoxelTable, M: int, key: jax.Array,
                        approx: bool = False):
     """Returns (center_vids [B, M] int32, center_valid [B, M] bool)."""
-    B = table.coverage.shape[0]
+    B = table.occupancy.shape[0]
     keys = jax.random.split(key, B)
     if approx:
         V = table.num_voxels
         return jax.vmap(lambda sv, k: _rvs_one_sorted(sv, V, M, k))(
             table.sorted_vid, keys)
+    # occupancy > 0 <=> coverage > 0 (occupancy = min(coverage, nv)); the
+    # packed build (voxelize with_coverage=False) has no raw-coverage grid
     return jax.vmap(lambda o, k: _rvs_one(o, M, k, approx))(
-        table.coverage > 0, keys)
+        table.occupancy > 0, keys)
 
 
 def _box_sum(x: jax.Array, resolution: int, context: int) -> jax.Array:
@@ -220,8 +222,8 @@ def sample_centers_cas(table: VoxelTable, M: int, key: jax.Array,
     challenges in parallel). Approximate-CAS, provably ≥ RVS coverage in
     expectation (§4.2 property test). approx=True: sort-free threshold
     sampling for the init and challenger picks (see _cas_one)."""
-    B = table.coverage.shape[0]
+    B = table.occupancy.shape[0]
     keys = jax.random.split(key, B)
     return jax.vmap(lambda o, k, sv: _cas_one(
         o, M, k, table.resolution, context, cas_iters, approx=approx,
-        sorted_vid=sv))(table.coverage > 0, keys, table.sorted_vid)
+        sorted_vid=sv))(table.occupancy > 0, keys, table.sorted_vid)

@@ -78,8 +78,15 @@ class VoxelTable:
       seg_pos:     [B, V+1] int32 — position of each voxel's first sorted
                    point (0 for unoccupied; gate with occupancy).
       occupancy:   [B, V] int32 — number of stored points per voxel (≤ nv).
-      coverage:    [B, V] int32 — raw number of points per voxel (un-capped);
-                   this is the coverage weight consumed by GCA attention.
+      coverage:    [B, V] int32 or None — raw number of points per voxel
+                   (un-capped); consumed by the exact/slot gather path as
+                   the GCA coverage weight. None for packed builds
+                   (with_coverage=False): there the coverage weight rides
+                   the selection keys, samplers test occupancy > 0, and the
+                   build packs seg_pos+occupancy into ONE scatter instead
+                   of two ([N]-row scatters are row-rate-bound,
+                   ~0.35 ms each at whole-scene N — measured 14.46 →
+                   14.01 ms/scene).
       point_vid:   [B, N] int32 — linear voxel id per input point (V for
                    invalid/padded points). Used by CAS and the upsample query.
       sorted_vid:  [B, N] int32 — voxel id per point in voxel-sorted order
@@ -100,7 +107,7 @@ class VoxelTable:
     coord_csum: jax.Array
     seg_pos: jax.Array
     occupancy: jax.Array
-    coverage: jax.Array
+    coverage: jax.Array | None
     point_vid: jax.Array
     sorted_vid: jax.Array
     origin: jax.Array
@@ -168,7 +175,7 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
                resolution: int, nv: int, with_coords: bool, with_keys: bool,
                with_slots: bool, origin=None, vsize=None,
                key_pad: tuple[int, int] = (0, 0),
-               sel_coords: bool = False):
+               sel_coords: bool = False, with_coverage: bool = True):
     """Single-cloud table build; vmapped over the batch."""
     N = xyz.shape[0]
     V = resolution ** 3
@@ -314,11 +321,28 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
     # of colliding [N]-row scatter-adds. (A single packed [V+1, 2] scatter
     # profiled ~40% slower than the two 1-D scatters plus needed an unpack.)
     start_dest = jnp.where(is_start & (sorted_vid < V), sorted_vid, V)
-    coverage = jnp.zeros((V + 1,), jnp.int32).at[start_dest].set(
-        seg_len, unique_indices=True)[:V]
-    seg_pos = jnp.zeros((V + 1,), jnp.int32).at[start_dest].set(
-        seg_start, unique_indices=True)
-    occupancy = jnp.minimum(coverage, nv)
+    if with_coverage:
+        coverage = jnp.zeros((V + 1,), jnp.int32).at[start_dest].set(
+            seg_len, unique_indices=True)[:V]
+        seg_pos = jnp.zeros((V + 1,), jnp.int32).at[start_dest].set(
+            seg_start, unique_indices=True)
+        occupancy = jnp.minimum(coverage, nv)
+    else:
+        # packed-path consumers only ever read occupancy (= coverage clamped
+        # at nv; samplers test > 0, barycenters count stored rows) and
+        # seg_pos, which fit one int32 together — ONE [N]-row scatter
+        # instead of two (scatters are row-rate-bound, ~0.35 ms each at
+        # whole-scene N). Raw GCA coverage still flows through the
+        # selection keys; grid-shaped raw coverage is only needed by the
+        # exact/slot path and diagnostics (capacity_stats reconstructs
+        # totals from point_vid).
+        occ_bits = int(nv).bit_length()
+        packed = (seg_start << occ_bits) | jnp.minimum(seg_len, nv)
+        posocc = jnp.zeros((V + 1,), jnp.int32).at[start_dest].set(
+            packed, unique_indices=True)
+        seg_pos = posocc >> occ_bits
+        occupancy = (posocc & ((1 << occ_bits) - 1))[:V]
+        coverage = None
     return (slots, key_table, key_table_pad, coord_table, coord_csum,
             seg_pos, occupancy, coverage, vid, sorted_vid, origin, vsize,
             sel_table_pad)
@@ -329,7 +353,8 @@ def build_voxel_table(xyz: jax.Array, mask: jax.Array, resolution: int,
                       with_keys: bool = False, with_slots: bool = True,
                       bounds=None,
                       key_pad: tuple[int, int] = (0, 0),
-                      sel_coords: bool = False) -> VoxelTable:
+                      sel_coords: bool = False,
+                      with_coverage: bool = True) -> VoxelTable:
     """Build fixed-capacity voxel tables for a batch of point clouds.
 
     Args:
@@ -356,7 +381,8 @@ def build_voxel_table(xyz: jax.Array, mask: jax.Array, resolution: int,
          vsize, stab) = jax.vmap(
             lambda x, m, r, o, vs: _build_one(
                 x, m, r, resolution, nv, with_coords, with_keys, with_slots,
-                origin=o, vsize=vs, key_pad=key_pad, sel_coords=sel_coords))(
+                origin=o, vsize=vs, key_pad=key_pad, sel_coords=sel_coords,
+                with_coverage=with_coverage))(
             xyz, mask, rand, bounds[0], bounds[1])
     else:
         (slots, ktab, ktab_p, ctab, csum, spos, occ, cov, vid, svid, origin,
@@ -364,7 +390,8 @@ def build_voxel_table(xyz: jax.Array, mask: jax.Array, resolution: int,
             lambda x, m, r: _build_one(x, m, r, resolution, nv, with_coords,
                                        with_keys, with_slots,
                                        key_pad=key_pad,
-                                       sel_coords=sel_coords))(
+                                       sel_coords=sel_coords,
+                                       with_coverage=with_coverage))(
             xyz, mask, rand)
     return VoxelTable(slots=slots, key_table=ktab, coord_table=ctab,
                       coord_csum=csum, seg_pos=spos, occupancy=occ,
@@ -376,14 +403,19 @@ def build_voxel_table(xyz: jax.Array, mask: jax.Array, resolution: int,
 def capacity_stats(table: VoxelTable) -> dict:
     """Diagnostics for SURVEY §7 H1: how many points the capacity nv dropped."""
     stored = jnp.sum(table.occupancy, axis=-1)
-    total = jnp.sum(table.coverage, axis=-1)
+    if table.coverage is not None:
+        total = jnp.sum(table.coverage, axis=-1)
+    else:
+        # packed builds (with_coverage=False) drop the raw-coverage grid;
+        # the valid-point total is recoverable from the per-point voxel ids
+        total = jnp.sum(table.point_vid < table.num_voxels, axis=-1)
     dropped = total - stored
     return {
         "stored_points": stored,
         "total_points": total,
         "dropped_points": dropped,
         "dropped_frac": dropped / jnp.maximum(total, 1),
-        "occupied_voxels": jnp.sum(table.coverage > 0, axis=-1),
+        "occupied_voxels": jnp.sum(table.occupancy > 0, axis=-1),
     }
 
 

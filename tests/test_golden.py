@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from gridgcn_tpu.ops import cagq, grid_three_nn
+from tests.oracle import oracle_np
 from tests.golden.generate import CAS_SPEC, OUT, SPEC, make_inputs
 
 
@@ -29,8 +30,14 @@ def test_cagq_matches_golden(golden):
                                   golden["node_coverage"])
     np.testing.assert_array_equal(np.asarray(out.groups.center_vids),
                                   golden["center_vids"])
-    np.testing.assert_array_equal(np.asarray(out.table.coverage),
-                                  golden["coverage"])
+    # packed builds drop the raw-coverage grid; the golden coverage is
+    # still pinned through point_vid (oracle reconstruction) + occupancy
+    cov = np.stack([oracle_np.coverage_counts(v, out.table.resolution)
+                    for v in np.asarray(out.table.point_vid)])
+    np.testing.assert_array_equal(cov, golden["coverage"])
+    np.testing.assert_array_equal(
+        np.asarray(out.table.occupancy),
+        np.minimum(golden["coverage"], out.table.nv))
     np.testing.assert_allclose(np.asarray(out.groups.center_xyz),
                                golden["center_xyz"], atol=1e-6)
     np.testing.assert_allclose(np.asarray(out.groups.node_xyz),
