@@ -249,10 +249,20 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
         rows = lo + V + hi
         kdest = jnp.where(keep, dest + lo * nv, rows * nv)
         if not sel_coords:
-            key_table_pad = jnp.zeros((rows * nv + 1,), jnp.int32
-                                      ).at[kdest].set(
-                keys, unique_indices=True)
-            key_table_pad = key_table_pad[: rows * nv].reshape(rows, nv)
+            # 2-D element scatter straight into the [rows, nv] table shape:
+            # the flat-scatter + reshape form pays a 0.77 ms/scene retile
+            # (T(1024) 1-D -> the context slice-gather's T(1,128) operand
+            # layout); scattering at (row, col) lets XLA produce the
+            # consumer layout directly. OOB row (= rows) drops non-kept
+            # points via FILL_OR_DROP.
+            krow = jnp.where(keep, sorted_vid + lo, rows)
+            kcol = jnp.minimum(rank, nv - 1)
+            key_table_pad = jax.lax.scatter(
+                jnp.zeros((rows, nv), jnp.int32),
+                jnp.stack([krow, kcol], -1), keys,
+                jax.lax.ScatterDimensionNumbers((), (0, 1), (0, 1)),
+                indices_are_sorted=False, unique_indices=True,
+                mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
             key_table = key_table_pad[lo:lo + V]
             if lo == 0 and hi == 0:
                 key_table_pad = None
