@@ -219,9 +219,17 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
 
     slots = None
     if with_slots:
-        slots = jnp.full((V * nv + 1,), -1, jnp.int32).at[dest].set(
-            sorted_pidx, unique_indices=True)
-        slots = slots[: V * nv].reshape(V, nv)
+        # 2-D (row, col) element scatter — a flat scatter + reshape pins a
+        # 1-D layout the consumer gather must retile (measured 0.77 ms at
+        # whole-scene scale on the key table; same lesson, design.md §11)
+        slots = jax.lax.scatter(
+            jnp.full((V, nv), -1, jnp.int32),
+            jnp.stack([jnp.where(keep, sorted_vid, V),
+                       jnp.minimum(rank, nv - 1)], axis=-1),
+            sorted_pidx,
+            jax.lax.ScatterDimensionNumbers((), (0, 1), (0, 1)),
+            indices_are_sorted=False, unique_indices=True,
+            mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
 
     key_table = None
     key_table_pad = None
@@ -318,13 +326,19 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
         # packed coordinate table, scattered directly in its final
         # [V+1, 3*nv] = [x-slots | y-slots | z-slots] layout: axis a of the
         # point at (voxel, rank) lands at vid*3nv + a*nv + rank.
-        vox_base = jnp.where(keep, sorted_vid * (3 * nv) + rank,
-                             (V + 1) * 3 * nv)
-        dest3 = jnp.concatenate([vox_base, vox_base + nv, vox_base + 2 * nv])
+        # 2-D (row, col) destinations for the same layout reason as slots
+        # above; non-kept points get row V+1 (OOB) and are dropped
+        crow3 = jnp.tile(jnp.where(keep, sorted_vid, V + 1), 3)
+        col_base = jnp.minimum(rank, nv - 1)
+        ccol3 = jnp.concatenate(
+            [col_base, col_base + nv, col_base + 2 * nv])
         vals3 = jnp.concatenate([coords[:, 0], coords[:, 1], coords[:, 2]])
-        cflat = jnp.full(((V + 1) * 3 * nv + 1,), COORD_SENTINEL, xyz.dtype)
-        coord_table = cflat.at[dest3].set(
-            vals3, unique_indices=True)[:-1].reshape(V + 1, 3 * nv)
+        coord_table = jax.lax.scatter(
+            jnp.full((V + 1, 3 * nv), COORD_SENTINEL, xyz.dtype),
+            jnp.stack([crow3, ccol3], axis=-1), vals3,
+            jax.lax.ScatterDimensionNumbers((), (0, 1), (0, 1)),
+            indices_are_sorted=False, unique_indices=True,
+            mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
 
     # raw per-voxel point count + first-sorted-row position from the
     # segment boundaries: two scatter-SETs of unique segment starts instead
