@@ -132,7 +132,8 @@ def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap: int = 0,
               -> (logits, ghost_overflow, batch_stats)       (train=True)
     with the leading axes sharded over `axis_name`; ghost-point logits are
     meaningless (mask with `owned`). `ghost_cap` = per-face ghost buffer
-    rows per level (default: half the shard's center share).
+    rows per level (default: the shard's full center share, which cannot
+    overflow; set lower to trade boundary fidelity for ghost volume).
     `ghost_overflow[d]` counts boundary rows shard d failed to ship across
     all levels/faces — nonzero means the decoder read stale/zero ghosts;
     raise ghost_cap (ADVICE r1 #2).
@@ -205,7 +206,11 @@ def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap: int = 0,
             else:
                 # last level still feeds the first decode stage as support
                 width = reach(specs[i], vsize)
-            H = ghost_cap or max(8, specs[i].n_centers // 2)
+            # Default: the full per-shard share. A shard owns at most
+            # specs[i].n_centers rows at this level, so a band can never
+            # hold more — overflow is impossible unless the caller lowers
+            # ghost_cap to trade ghost volume for speed.
+            H = ghost_cap or max(8, specs[i].n_centers)
             g_xyz, g_feat, g_ok, send, dropped = exchange_boundary(
                 c_xyz[0], c_feat[0], own, lo, hi, width, H, axis_name)
             overflow = overflow + dropped
