@@ -51,6 +51,18 @@ class GridLayerSpec:
     # [M·K]-row gather; bit-exact, wins on layers whose node_xyz is
     # consumed directly (layer 0 / xyz-prefix input)
     coord_match: bool = False
+    # carry node_xyz through the selection SORT as payload operands
+    # (combined [key|x|y|z] table + 4-operand lax.sort) instead of the
+    # post-selection [B·M·K]-row winner gather. Bit-identical node output
+    # to the packed top_k path (stored coords are bitcasts of the same
+    # xyz rows; keys are unique so the order is deterministic) — but
+    # MEASURED SLOWER everywhere (docs/design.md §10): the quad table's
+    # build/window/gather traffic scales with B·V·nv·4 widths, which at
+    # every preset's V/M ratio exceeds the B·M·K winner gather it
+    # replaces (scannet_seg step 32.5 → 69 ms; the interleaved-quad
+    # extraction also relayouts at lane granularity). Kept as the tested
+    # artifact of that study, like coord_match.
+    coord_payload: bool = False
 
     # --- GCA (aggregation) side ---
     mlp: Tuple[int, ...] = (64, 64)   # edge-MLP channel stack (last = output width)

@@ -57,7 +57,8 @@ def cagq(xyz: jax.Array, mask: jax.Array, spec: GridLayerSpec,
                               with_slots=not use_packed,
                               bounds=bounds,
                               key_pad=(r, spec.context),
-                              sel_coords=use_packed and spec.coord_match,
+                              sel_coords=use_packed and (
+                                  spec.coord_match or spec.coord_payload),
                               with_coverage=not use_packed)
 
     if spec.sampler == "rvs":
@@ -74,5 +75,6 @@ def cagq(xyz: jax.Array, mask: jax.Array, spec: GridLayerSpec,
         table, xyz, center_vids, center_valid,
         spec.k_neighbors, spec.context, k_gather,
         center_mode=spec.center_mode, approx=use_packed,
-        return_candidates=need_candidates, approx_topk=spec.approx_topk)
+        return_candidates=need_candidates, approx_topk=spec.approx_topk,
+        coord_payload=spec.coord_payload)
     return CAGQOutput(table=table, groups=groups)

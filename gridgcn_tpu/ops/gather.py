@@ -65,15 +65,19 @@ def _gather_one(slots, key_table, key_table_pad, sel_table_pad,
                 xyz, center_vids, center_valid, key, resolution: int, K: int,
                 context: int, center_mode: str, origin, vsize,
                 approx: bool = False, return_candidates: bool = False,
-                approx_topk: bool = False, use_z_window: bool = False):
+                approx_topk: bool = False, use_z_window: bool = False,
+                coord_payload: bool = False):
     """Single-cloud gather; vmapped over the batch."""
     V = resolution ** 3
     if slots is not None:
         nv = slots.shape[-1]
-    elif sel_table_pad is not None:
-        nv = sel_table_pad.shape[-1] // 4
-    else:
+    elif key_table is not None:
+        # the TRUE capacity — sel_table_pad always carries 32 slot quads
+        # per row (lane alignment), so its width would overstate nv and
+        # quadruple the selection pool with always-empty slots
         nv = key_table.shape[-1]
+    else:
+        nv = sel_table_pad.shape[-1] // 4
     M = center_vids.shape[0]
     P = context ** 3
 
@@ -126,6 +130,59 @@ def _gather_one(slots, key_table, key_table_pad, sel_table_pad,
             return windowed[flat_base]
         return jax.vmap(lambda b: jax.lax.dynamic_slice_in_dim(
             padded, b, context, 0))(flat_base)
+
+    if approx and sel_table_pad is not None and coord_payload:
+        # Combined-table payload path (coord_payload): the context-run
+        # gather fetches [key | x | y | z] quads and the node selection is
+        # a 4-operand descending lax.sort — the sort RETURNS the winner
+        # coordinates, so the post-selection [B·M·K]-row winner gather
+        # disappears. Keys embed the point index so they are unique: the
+        # sorted order — and hence every output — is bit-identical to the
+        # packed top_k path (test_coord_payload_is_bit_exact). MEASURED
+        # SLOWER than the winner gather at every preset's V/M ratio
+        # (docs/design.md §10 addendum) — kept flag-off as the tested
+        # artifact of that study.
+        runs = run_gather(sel_table_pad).reshape(M, P2, context, 32, 4)
+        if nv < 32:
+            runs = runs[:, :, :, :nv]
+        runs = runs.reshape(M, P, nv, 4)
+        runs = jnp.where(inb[..., None, None], runs, 0)
+        cand_keys = runs[..., 0].reshape(M, P * nv)
+        # descending-by-key == ascending-by-~key: valid keys (bit 29 set)
+        # map to the most-negative ~keys and surface first; empty slots
+        # (key 0) map to -1 and sink behind every valid key
+        sk, sx_, sy_, sz_ = jax.lax.sort(
+            (jnp.bitwise_not(cand_keys),
+             runs[..., 1].reshape(M, P * nv),
+             runs[..., 2].reshape(M, P * nv),
+             runs[..., 3].reshape(M, P * nv)),
+            dimension=-1, num_keys=1)
+        top_keys = jnp.bitwise_not(sk[:, :kk])
+        node_xyz = jax.lax.bitcast_convert_type(
+            jnp.stack([sx_[:, :kk], sy_[:, :kk], sz_[:, :kk]], axis=-1),
+            jnp.float32)
+        if kk < K:
+            top_keys = jnp.pad(top_keys, ((0, 0), (0, K - kk)))
+            node_xyz = jnp.pad(node_xyz, ((0, 0), (0, K - kk), (0, 0)))
+        neighbor_mask = top_keys >= (1 << 29)
+        neighbor_idx = jnp.where(neighbor_mask,
+                                 top_keys & ((1 << idx_bits) - 1), 0)
+        from gridgcn_tpu.ops.voxelize import decode_coverage
+        cov_code = (top_keys >> idx_bits) & ((1 << cov_bits) - 1)
+        node_coverage = jnp.where(neighbor_mask,
+                                  decode_coverage(cov_code), 0)
+        node_xyz = jnp.where(neighbor_mask[..., None], node_xyz, 0.0)
+        center_xyz = center_positions(
+            coord_csum, seg_pos, occupancy, center_vids, center_valid,
+            resolution, center_mode, origin, vsize)
+        out = (neighbor_idx, neighbor_mask, node_xyz, node_coverage,
+               center_xyz)
+        if return_candidates:
+            cand_valid = cand_keys >= (1 << 29)
+            cand_idx = jnp.where(cand_valid,
+                                 cand_keys & ((1 << idx_bits) - 1), 0)
+            out = out + (cand_idx, cand_valid)
+        return out
 
     if approx and sel_table_pad is not None:
         # Combined-table path (coord_match): ONE context-run gather fetches
@@ -314,7 +371,8 @@ def gather_nodes(table: VoxelTable, xyz: jax.Array, center_vids: jax.Array,
                  key: jax.Array, center_mode: str = "barycenter",
                  approx: bool = False, return_candidates: bool = False,
                  approx_topk: bool = False,
-                 z_window: bool | None = None) -> GroupedNodes:
+                 z_window: bool | None = None,
+                 coord_payload: bool = False) -> GroupedNodes:
     """Batched F-04 gather; centers from F-02/F-03; xyz = level points.
 
     return_candidates=True additionally emits the full [M, P*nv] context
@@ -331,7 +389,7 @@ def gather_nodes(table: VoxelTable, xyz: jax.Array, center_vids: jax.Array,
         _gather_one(
             s, kt, ktp, st, cs, sp, oc, c, x, cv, va, k, table.resolution, K,
             context, center_mode, o, vs, approx, return_candidates,
-            approx_topk, use_z_window))(
+            approx_topk, use_z_window, coord_payload))(
         table.slots, table.key_table, table.key_table_pad,
         table.sel_table_pad, table.coord_csum,
         table.seg_pos, table.occupancy, table.coverage, xyz, center_vids,

@@ -294,16 +294,20 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
             raise ValueError(f"sel_coords supports nv <= 32, got {nv}")
         cbits = jax.lax.bitcast_convert_type(
             coords.astype(jnp.float32), jnp.int32)               # [N, 3]
-        quad = jnp.concatenate([keys[:, None], cbits], axis=1)   # [N, 4]
-        vrow = jnp.where(keep, sorted_vid + lo, rows + 1)  # OOB => dropped
-        col = jnp.minimum(rank, nv - 1) * 4
+        # 4N-value ELEMENT scatter at 2-D (row, col) destinations. The
+        # obvious window-4 scatter (update_window_dims) SERIALIZES in
+        # XLA:TPU (~287 ms at whole-scene N — measured, docs/design.md
+        # §10); element scatters at the consumer's dimensionality run at
+        # the DMA row rate and need no relayout (§11).
+        vrow4 = jnp.tile(jnp.where(keep, sorted_vid + lo, rows), 4)
+        colb = jnp.minimum(rank, nv - 1) * 4
+        cols4 = jnp.concatenate([colb, colb + 1, colb + 2, colb + 3])
+        vals4 = jnp.concatenate(
+            [keys, cbits[:, 0], cbits[:, 1], cbits[:, 2]])
         sel_table_pad = jax.lax.scatter(
             jnp.zeros((rows, 128), jnp.int32),
-            jnp.stack([vrow, col], axis=-1), quad,
-            jax.lax.ScatterDimensionNumbers(
-                update_window_dims=(1,),
-                inserted_window_dims=(0,),
-                scatter_dims_to_operand_dims=(0, 1)),
+            jnp.stack([vrow4, cols4], axis=-1), vals4,
+            jax.lax.ScatterDimensionNumbers((), (0, 1), (0, 1)),
             indices_are_sorted=False, unique_indices=True,
             mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
         # key-only view for samplers/tests (strided slice; only

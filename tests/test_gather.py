@@ -267,3 +267,29 @@ def test_coord_match_is_bit_exact(rng_key):
                                           np.asarray(gb.node_xyz))
             np.testing.assert_allclose(np.asarray(ga.center_xyz),
                                        np.asarray(gb.center_xyz))
+
+
+def test_coord_payload_is_bit_exact(rng_key):
+    """coord_payload (winner coords ride the selection sort as payload
+    operands) must reproduce the key-table top_k path EXACTLY: selection
+    keys are unique (they embed the point index), so the 4-operand
+    descending sort yields the same winners, and the payload coords are
+    bitcasts of the same xyz rows the winner gather would fetch."""
+    import dataclasses
+
+    from gridgcn_tpu.ops.cagq import cagq
+
+    base = GridLayerSpec(resolution=8, nv=4, n_centers=48, k_neighbors=16,
+                         sampler="rvs")
+    for B in (1, 2):       # B=1 slice-gather runs, B=2 z-window runs
+        xyz = jax.random.uniform(rng_key, (B, 400, 3), minval=-1, maxval=1)
+        mask = jnp.ones((B, 400), bool).at[:, 380:].set(False)
+        key = jax.random.PRNGKey(5)
+        ga = cagq(xyz, mask, base, key).groups
+        gb = cagq(xyz, mask,
+                  dataclasses.replace(base, coord_payload=True), key).groups
+        for f in ("neighbor_idx", "neighbor_mask", "node_xyz",
+                  "node_coverage", "center_xyz", "center_valid"):
+            np.testing.assert_array_equal(np.asarray(getattr(ga, f)),
+                                          np.asarray(getattr(gb, f)),
+                                          err_msg=f)
