@@ -60,7 +60,7 @@ class Predictor:
             lambda x, f, m, k: model.apply(
                 variables, x, f, m, train=False, rngs={"cagq": k}))
         self._variables = variables
-        self._scene_fwd = None     # built lazily by predict_scene
+        self._scene_fwds = {}      # per spatial tier, built lazily
 
     def __call__(self, xyz, feat=None, mask=None,
                  rng: Optional[jax.Array] = None):
@@ -113,6 +113,12 @@ class Predictor:
         whole-scene voting protocol)."""
         if self.cfg.model.task != "seg":
             raise ValueError("predict_scene is for segmentation models")
+        if votes < 1:
+            raise ValueError(f"votes must be >= 1, got {votes}")
+        spatial = spatial.replace("-", "_")   # accept the CLI spelling
+        if spatial not in ("auto", "resident", "resident_ml"):
+            raise ValueError(f"unknown spatial tier {spatial!r}; expected "
+                             "'auto', 'resident', or 'resident_ml'")
         xyz = np.asarray(xyz, np.float32)
         mask = np.ones(xyz.shape[0], bool)
         rng = jax.random.PRNGKey(0) if rng is None else rng
@@ -132,25 +138,20 @@ class Predictor:
         if spatial == "resident_ml":
             from gridgcn_tpu.parallel.resident_ml import (
                 make_resident_ml_forward, resident_ml_seg_predict)
-            if self._scene_fwd is None:
-                self._scene_fwd = make_resident_ml_forward(
+            if spatial not in self._scene_fwds:
+                self._scene_fwds[spatial] = make_resident_ml_forward(
                     self.cfg, self._mesh)
             predict = resident_ml_seg_predict
         else:
             from gridgcn_tpu.parallel.resident import (
                 make_resident_forward, resident_seg_predict)
-            if self._scene_fwd is None:
-                self._scene_fwd = make_resident_forward(
+            if spatial not in self._scene_fwds:
+                self._scene_fwds[spatial] = make_resident_forward(
                     self.cfg, self._mesh)
             predict = resident_seg_predict
-        acc = None
-        for v in range(votes):
-            lg = predict(self.cfg, self._variables, xyz, mask, self._mesh,
-                         capacity=xyz.shape[0],
-                         rng=jax.random.fold_in(rng, v),
-                         fwd=self._scene_fwd)
-            acc = lg if acc is None else acc + lg
-        return acc / votes
+        return predict(self.cfg, self._variables, xyz, mask, self._mesh,
+                       capacity=xyz.shape[0], rng=rng,
+                       fwd=self._scene_fwds[spatial], votes=votes)
 
 
 def load_predictor(ckpt_dir: str, step: Optional[int] = None,

@@ -30,7 +30,8 @@ from flax import struct
 
 from gridgcn_tpu.ops.gridutil import (
     context_neighbors, context_offsets, vid_to_coords)
-from gridgcn_tpu.ops.voxelize import VoxelTable
+from gridgcn_tpu.ops.voxelize import (
+    COV_BITS, VALID_KEY_MIN, VoxelTable, decode_coverage)
 
 
 @struct.dataclass
@@ -77,7 +78,9 @@ def _gather_one(slots, key_table, key_table_pad, sel_table_pad,
         # quadruple the selection pool with always-empty slots
         nv = key_table.shape[-1]
     else:
-        nv = sel_table_pad.shape[-1] // 4
+        raise ValueError(
+            "cannot derive nv: need slots or key_table (sel_table_pad's "
+            "lane-aligned width is always 32 quads regardless of nv)")
     M = center_vids.shape[0]
     P = context ** 3
 
@@ -106,7 +109,6 @@ def _gather_one(slots, key_table, key_table_pad, sel_table_pad,
     kk = min(K, P * nv)
     N_pts = xyz.shape[0]
     idx_bits = max(1, int(N_pts - 1).bit_length())
-    cov_bits = 6
     flat_base = base.reshape(-1)
 
     def run_gather(padded):
@@ -131,6 +133,43 @@ def _gather_one(slots, key_table, key_table_pad, sel_table_pad,
         return jax.vmap(lambda b: jax.lax.dynamic_slice_in_dim(
             padded, b, context, 0))(flat_base)
 
+    def fetch_sel_runs():
+        # [key | x | y | z] quads from the combined selection table, masked
+        # to in-bounds context pairs; the table is lane-aligned to 32 slot
+        # quads per row regardless of nv
+        runs = run_gather(sel_table_pad).reshape(M, P2, context, 32, 4)
+        if nv < 32:
+            runs = runs[:, :, :, :nv]       # drop always-empty slot quads
+        runs = runs.reshape(M, P, nv, 4)
+        return jnp.where(inb[..., None, None], runs, 0)
+
+    def pad_to_K(a):
+        # selection produced kk = min(K, P·nv) winners; pad out as invalid
+        if kk >= K:
+            return a
+        return jnp.pad(a, ((0, 0), (0, K - kk)) + ((0, 0),) * (a.ndim - 2))
+
+    def decode_keys(keys):
+        # packed selection key [valid | random | log-coverage | point index]
+        # (layout + codec from voxelize.py) → (valid, point index, coverage)
+        mask = keys >= VALID_KEY_MIN
+        idx = jnp.where(mask, keys & ((1 << idx_bits) - 1), 0)
+        cov = jnp.where(mask, decode_coverage(
+            (keys >> idx_bits) & ((1 << COV_BITS) - 1)), 0)
+        return mask, idx, cov
+
+    def select_top_keys(flat_keys):
+        if approx_topk:
+            # keys bitcast to positive finite floats whose order matches the
+            # int order (see VALID_KEY_MIN), so the random-subset selection
+            # can ride approx_max_k's PartialReduce instead of a full row
+            # sort. ~0.95 recall per slot — a different random subset, which
+            # is exactly what the selection is anyway.
+            vals, _ = jax.lax.approx_max_k(
+                jax.lax.bitcast_convert_type(flat_keys, jnp.float32), kk)
+            return jax.lax.bitcast_convert_type(vals, jnp.int32)
+        return jax.lax.top_k(flat_keys, kk)[0]
+
     if approx and sel_table_pad is not None and coord_payload:
         # Combined-table payload path (coord_payload): the context-run
         # gather fetches [key | x | y | z] quads and the node selection is
@@ -142,11 +181,7 @@ def _gather_one(slots, key_table, key_table_pad, sel_table_pad,
         # SLOWER than the winner gather at every preset's V/M ratio
         # (docs/design.md §10 addendum) — kept flag-off as the tested
         # artifact of that study.
-        runs = run_gather(sel_table_pad).reshape(M, P2, context, 32, 4)
-        if nv < 32:
-            runs = runs[:, :, :, :nv]
-        runs = runs.reshape(M, P, nv, 4)
-        runs = jnp.where(inb[..., None, None], runs, 0)
+        runs = fetch_sel_runs()
         cand_keys = runs[..., 0].reshape(M, P * nv)
         # descending-by-key == ascending-by-~key: valid keys (bit 29 set)
         # map to the most-negative ~keys and surface first; empty slots
@@ -157,20 +192,11 @@ def _gather_one(slots, key_table, key_table_pad, sel_table_pad,
              runs[..., 2].reshape(M, P * nv),
              runs[..., 3].reshape(M, P * nv)),
             dimension=-1, num_keys=1)
-        top_keys = jnp.bitwise_not(sk[:, :kk])
-        node_xyz = jax.lax.bitcast_convert_type(
+        top_keys = pad_to_K(jnp.bitwise_not(sk[:, :kk]))
+        node_xyz = pad_to_K(jax.lax.bitcast_convert_type(
             jnp.stack([sx_[:, :kk], sy_[:, :kk], sz_[:, :kk]], axis=-1),
-            jnp.float32)
-        if kk < K:
-            top_keys = jnp.pad(top_keys, ((0, 0), (0, K - kk)))
-            node_xyz = jnp.pad(node_xyz, ((0, 0), (0, K - kk), (0, 0)))
-        neighbor_mask = top_keys >= (1 << 29)
-        neighbor_idx = jnp.where(neighbor_mask,
-                                 top_keys & ((1 << idx_bits) - 1), 0)
-        from gridgcn_tpu.ops.voxelize import decode_coverage
-        cov_code = (top_keys >> idx_bits) & ((1 << cov_bits) - 1)
-        node_coverage = jnp.where(neighbor_mask,
-                                  decode_coverage(cov_code), 0)
+            jnp.float32))
+        neighbor_mask, neighbor_idx, node_coverage = decode_keys(top_keys)
         node_xyz = jnp.where(neighbor_mask[..., None], node_xyz, 0.0)
         center_xyz = center_positions(
             coord_csum, seg_pos, occupancy, center_vids, center_valid,
@@ -178,9 +204,7 @@ def _gather_one(slots, key_table, key_table_pad, sel_table_pad,
         out = (neighbor_idx, neighbor_mask, node_xyz, node_coverage,
                center_xyz)
         if return_candidates:
-            cand_valid = cand_keys >= (1 << 29)
-            cand_idx = jnp.where(cand_valid,
-                                 cand_keys & ((1 << idx_bits) - 1), 0)
+            cand_valid, cand_idx, _ = decode_keys(cand_keys)
             out = out + (cand_idx, cand_valid)
         return out
 
@@ -193,27 +217,10 @@ def _gather_one(slots, key_table, key_table_pad, sel_table_pad,
         # are unique (they embed the point index), so each valid winner
         # matches exactly one candidate, and coordinates ride as bf16
         # triple-splits (8+8+8 >= 24 mantissa bits => bit-exact f32).
-        runs = run_gather(sel_table_pad).reshape(M, P2, context, 32, 4)
-        if nv < 32:
-            runs = runs[:, :, :, :nv]       # drop always-empty slot quads
-        runs = runs.reshape(M, P, nv, 4)
-        runs = jnp.where(inb[..., None, None], runs, 0)
+        runs = fetch_sel_runs()
         cand_keys = runs[..., 0].reshape(M, P * nv)
-        if approx_topk:
-            vals, _ = jax.lax.approx_max_k(
-                jax.lax.bitcast_convert_type(cand_keys, jnp.float32), kk)
-            top_keys = jax.lax.bitcast_convert_type(vals, jnp.int32)
-        else:
-            top_keys, _ = jax.lax.top_k(cand_keys, kk)
-        if kk < K:
-            top_keys = jnp.pad(top_keys, ((0, 0), (0, K - kk)))
-        neighbor_mask = top_keys >= (1 << 29)
-        neighbor_idx = jnp.where(neighbor_mask,
-                                 top_keys & ((1 << idx_bits) - 1), 0)
-        from gridgcn_tpu.ops.voxelize import decode_coverage
-        cov_code = (top_keys >> idx_bits) & ((1 << cov_bits) - 1)
-        node_coverage = jnp.where(neighbor_mask,
-                                  decode_coverage(cov_code), 0)
+        top_keys = pad_to_K(select_top_keys(cand_keys))
+        neighbor_mask, neighbor_idx, node_coverage = decode_keys(top_keys)
 
         cand_xyz = jax.lax.bitcast_convert_type(
             runs[..., 1:4].reshape(M, P * nv, 3), jnp.float32)
@@ -232,9 +239,7 @@ def _gather_one(slots, key_table, key_table_pad, sel_table_pad,
         node_xyz = (got[..., 0:3] + got[..., 3:6]) + got[..., 6:9]
         node_xyz = jnp.where(neighbor_mask[..., None], node_xyz, 0.0)
 
-        cand_valid = cand_keys >= (1 << 29)
-        cand_idx = jnp.where(cand_valid,
-                             cand_keys & ((1 << idx_bits) - 1), 0)
+        cand_valid, cand_idx, _ = decode_keys(cand_keys)
         center_xyz = center_positions(
             coord_csum, seg_pos, occupancy, center_vids, center_valid,
             resolution, center_mode, origin, vsize)
@@ -260,30 +265,10 @@ def _gather_one(slots, key_table, key_table_pad, sel_table_pad,
                  jnp.zeros((context, nv), key_table.dtype)], axis=0)
         cand_keys = run_gather(keys_p).reshape(M, P, nv)
         cand_keys = jnp.where(inb[..., None], cand_keys, 0)
-        if approx_topk:
-            # keys are positive finite floats under bitcast (valid bit 29,
-            # voxelize.py), so the random-subset selection can ride
-            # approx_max_k's PartialReduce instead of a full row sort.
-            # ~0.95 recall per slot — a different random subset, which is
-            # exactly what the selection is anyway.
-            vals, _ = jax.lax.approx_max_k(
-                jax.lax.bitcast_convert_type(
-                    cand_keys.reshape(M, P * nv), jnp.float32), kk)
-            top_keys = jax.lax.bitcast_convert_type(vals, jnp.int32)
-        else:
-            top_keys, _ = jax.lax.top_k(cand_keys.reshape(M, P * nv), kk)
-        if kk < K:
-            top_keys = jnp.pad(top_keys, ((0, 0), (0, K - kk)))
-        neighbor_mask = top_keys >= (1 << 29)
-        neighbor_idx = jnp.where(neighbor_mask,
-                                 top_keys & ((1 << idx_bits) - 1), 0)
-        from gridgcn_tpu.ops.voxelize import decode_coverage
-        cov_code = (top_keys >> idx_bits) & ((1 << cov_bits) - 1)
-        node_coverage = jnp.where(neighbor_mask,
-                                  decode_coverage(cov_code), 0)
         flat_keys = cand_keys.reshape(M, P * nv)
-        cand_valid = flat_keys >= (1 << 29)
-        cand_idx = jnp.where(cand_valid, flat_keys & ((1 << idx_bits) - 1), 0)
+        top_keys = pad_to_K(select_top_keys(flat_keys))
+        neighbor_mask, neighbor_idx, node_coverage = decode_keys(top_keys)
+        cand_valid, cand_idx, _ = decode_keys(flat_keys)
     else:
         # exact path: coverage rides as an extra column of the slots table
         # so the context walk is one run gather; float scores in (1, 2),

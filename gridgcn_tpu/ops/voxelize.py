@@ -135,6 +135,10 @@ def voxel_ids(xyz: jax.Array, mask: jax.Array, origin: jax.Array,
 
 
 COV_BITS = 6
+# selection-key valid flag sits at bit 29 (not 30): keys stay below
+# 0x40000000 so a bitcast to f32 yields positive finite floats whose order
+# matches the int order (approx_max_k-compatible); any key >= this is valid
+VALID_KEY_MIN = 1 << 29
 
 
 def encode_coverage(count: jax.Array) -> jax.Array:

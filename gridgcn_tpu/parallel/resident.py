@@ -193,11 +193,13 @@ def resident_halo(cfg: Config, vsize: np.ndarray) -> float:
 def resident_seg_predict(cfg: Config, variables, xyz: np.ndarray,
                          mask: np.ndarray, mesh: Mesh, capacity: int,
                          rng: Optional[jax.Array] = None,
-                         fwd=None) -> np.ndarray:
+                         fwd=None, votes: int = 1) -> np.ndarray:
     """Whole-scene per-point logits with the dense level sharded over the
     mesh. xyz [N, 3], mask [N] → logits [N, num_classes] (zeros for invalid
     points). Pass a prebuilt `fwd` (make_resident_forward) to reuse the
-    compiled executable across scenes."""
+    compiled executable across scenes. `votes` > 1 logit-averages that many
+    CAGQ seeds (rng fold_in per vote) — partitioning and parameter staging
+    happen once, not per vote."""
     D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     res0 = cfg.model.layers[0].resolution
 
@@ -215,9 +217,15 @@ def resident_seg_predict(cfg: Config, variables, xyz: np.ndarray,
     sh = NamedSharding(mesh, P(DATA_AXIS))
     # replicate params onto the mesh (checkpoint restores commit to one device)
     variables = jax.device_put(variables, NamedSharding(mesh, P()))
-    logits = np.asarray(jax.device_get(fwd(
-        variables, jax.device_put(sx, sh), jax.device_put(sm, sh),
-        jnp.asarray(edges), jnp.asarray(origin), jnp.asarray(vsize), rng)))
+    sx, sm = jax.device_put(sx, sh), jax.device_put(sm, sh)
+    edges_d, origin_d, vsize_d = (jnp.asarray(edges), jnp.asarray(origin),
+                                  jnp.asarray(vsize))
+    acc = None
+    for v in range(votes):
+        k = jax.random.fold_in(rng, v) if votes > 1 else rng
+        lg = fwd(variables, sx, sm, edges_d, origin_d, vsize_d, k)
+        acc = lg if acc is None else acc + lg
+    logits = np.asarray(jax.device_get(acc)) / votes
 
     C = logits.shape[-1]
     out = np.zeros((xyz.shape[0], C), logits.dtype)

@@ -260,9 +260,12 @@ def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap: int = 0,
 def resident_ml_seg_predict(cfg: Config, variables, xyz: np.ndarray,
                             mask: np.ndarray, mesh: Mesh, capacity: int,
                             rng: Optional[jax.Array] = None,
-                            ghost_cap: int = 0, fwd=None) -> np.ndarray:
+                            ghost_cap: int = 0, fwd=None,
+                            votes: int = 1) -> np.ndarray:
     """Whole-scene per-point logits with EVERY level sharded over the mesh.
-    xyz [N, 3], mask [N] → logits [N, num_classes] (zeros for invalid)."""
+    xyz [N, 3], mask [N] → logits [N, num_classes] (zeros for invalid).
+    `votes` > 1 logit-averages that many CAGQ seeds; partitioning and
+    parameter staging happen once, not per vote."""
     D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     res0 = cfg.model.layers[0].resolution
 
@@ -279,10 +282,17 @@ def resident_ml_seg_predict(cfg: Config, variables, xyz: np.ndarray,
     rng = jax.random.PRNGKey(0) if rng is None else rng
     sh = NamedSharding(mesh, P(DATA_AXIS))
     variables = jax.device_put(variables, NamedSharding(mesh, P()))
-    logits, overflow = fwd(
-        variables, jax.device_put(sx, sh), jax.device_put(sm, sh),
-        jnp.asarray(edges), jnp.asarray(origin), jnp.asarray(extent), rng)
-    logits = np.asarray(jax.device_get(logits))
+    sx, sm = jax.device_put(sx, sh), jax.device_put(sm, sh)
+    edges_d, origin_d, extent_d = (jnp.asarray(edges), jnp.asarray(origin),
+                                   jnp.asarray(extent))
+    acc = None
+    for v in range(votes):
+        k = jax.random.fold_in(rng, v) if votes > 1 else rng
+        lg, overflow = fwd(variables, sx, sm, edges_d, origin_d, extent_d, k)
+        acc = lg if acc is None else acc + lg
+    # ghost selection depends only on geometry, so overflow is identical
+    # across votes — the last fetch stands for all of them
+    logits = np.asarray(jax.device_get(acc)) / votes
     n_over = int(np.asarray(jax.device_get(overflow)).sum())
     if n_over:
         import warnings

@@ -157,7 +157,14 @@ def train_spatial(cfg: Config, mesh_devices: int,
         # headroom holds typical scenes; a denser slab falls back to N
         capacity = min(N, ((2 * N // D + 255) // 256) * 256)
 
-    step = make_spatial_train_step(cfg, mesh, sched, tier=tier)
+    class_weights = None
+    if cfg.train.class_weighting:
+        from gridgcn_tpu.train.steps import class_weights_from_dataset
+        class_weights = class_weights_from_dataset(
+            train_ds.labels, cfg.model.num_classes)
+
+    step = make_spatial_train_step(cfg, mesh, sched, tier=tier,
+                                   class_weights=class_weights)
     ckpt = CheckpointManager(cfg.train.ckpt_dir, cfg, keep=cfg.train.keep_ckpts)
     rng = jax.random.PRNGKey(cfg.train.seed)
     restored = ckpt.restore(state, rng)

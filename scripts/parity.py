@@ -41,7 +41,12 @@ def main(argv=None):
     from gridgcn_tpu.train import train as train_cli
     from scripts.prepare_data import check
 
-    check(args.root)
+    rc = check(args.root)
+    if rc:
+        print("parity: dataset files missing — fix the layout above before "
+              "training (otherwise make_dataset would silently fall back "
+              "to synthetic data)", file=sys.stderr)
+        return rc
     ckpt = args.ckpt_dir or f"checkpoints/{_PRESET[args.dataset]}"
     if not args.skip_train:
         train_cli.main([

@@ -58,12 +58,22 @@ def scannet_from_pickle(root: str, pickle_path: str, split: str) -> int:
     with open(pickle_path, "rb") as f:
         obj = pickle.load(f, encoding="latin1")
 
+    def _is_scene_pair(e):
+        # one scene's (points [Ni,>=3], labels [Ni]) tuple
+        return (isinstance(e, (list, tuple)) and len(e) == 2
+                and np.ndim(e[0]) == 2 and np.ndim(e[1]) == 1)
+
     if isinstance(obj, dict):
         pts_key = next(k for k in ("data", "points", "scene_points")
                        if k in obj)
         lab_key = next(k for k in ("label", "labels", "semantic_labels")
                        if k in obj)
         scenes, labels = obj[pts_key], obj[lab_key]
+    elif isinstance(obj, (list, tuple)) and len(obj) \
+            and all(_is_scene_pair(e) for e in obj):
+        # list of per-scene tuples — test BEFORE the (scenes, labels) pair
+        # form so a 2-scene list isn't misread as the pair form
+        scenes, labels = zip(*obj)
     elif isinstance(obj, (list, tuple)) and len(obj) == 2 \
             and not np.isscalar(obj[0]):
         scenes, labels = obj
@@ -114,7 +124,8 @@ def main(argv=None):
     c.add_argument("--pickle", required=True)
     c.add_argument("--split", required=True, choices=["train", "test"])
     c = sub.add_parser("s3dis");   c.add_argument("--root", default="data")
-    c.add_argument("--from-hdf5", action="store_true", required=True)
+    # accepted for CLI-doc compat; hdf5 is the only s3dis source
+    c.add_argument("--from-hdf5", action="store_true")
     args = p.parse_args(argv)
     if args.cmd == "check":
         return check(args.root)

@@ -83,3 +83,24 @@ def test_predict_scene_single_and_mesh(tmp_path):
     assert out_m.shape == (400, cfg.model.num_classes)
     assert np.isfinite(out_m).all()
     assert (np.abs(out_m).sum(axis=1) > 0).all()
+
+    # argument hygiene (advisor r2): bad votes/tier rejected, the CLI
+    # spelling 'resident-ml' lands on the tier-3 path, and requesting
+    # both tiers from one predictor compiles one forward per tier
+    with pytest.raises(ValueError, match="votes"):
+        p1.predict_scene(xyz, votes=0)
+    with pytest.raises(ValueError, match="spatial"):
+        pm.predict_scene(xyz, spatial="bogus")
+    out_ml = pm.predict_scene(xyz, votes=1, spatial="resident-ml")
+    assert out_ml.shape == (400, cfg.model.num_classes)
+    assert np.isfinite(out_ml).all()
+    assert set(pm._scene_fwds) >= {"resident_ml"}
+    out_r = pm.predict_scene(xyz, votes=1, spatial="resident")
+    assert set(pm._scene_fwds) == {"resident", "resident_ml"}
+    # the explicit-tier call must reproduce whichever tier 'auto' picked
+    auto_tier = ("resident_ml" if all(l.n_centers % 4 == 0
+                                      for l in cfg.model.layers)
+                 else "resident")
+    np.testing.assert_allclose(
+        out_ml if auto_tier == "resident_ml" else out_r, out_m,
+        rtol=1e-5, atol=1e-5)

@@ -167,6 +167,35 @@ def test_prepare_scannet_pickle_roundtrip(tmp_path):
     assert np.isfinite(pts).all()
 
 
+def test_prepare_scannet_pickle_per_scene_tuples(tmp_path):
+    """The docstring's other legal pickle form — a list of per-scene
+    (points, labels) tuples — parses correctly even with EXACTLY TWO
+    scenes, where it is shape-ambiguous with the (scenes, labels) pair
+    form (advisor r2)."""
+    import pickle
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from scripts.prepare_data import scannet_from_pickle
+
+    from gridgcn_tpu.data.scannet import load_scannet
+
+    rng = np.random.default_rng(1)
+    per_scene = [(rng.uniform(0, 5, (n, 6)).astype(np.float32),
+                  rng.integers(0, 21, n).astype(np.int32))
+                 for n in (300, 450)]
+    pk = tmp_path / "scannet_test.pickle"
+    with open(pk, "wb") as f:
+        pickle.dump(per_scene, f)
+
+    rc = scannet_from_pickle(str(tmp_path), str(pk), "test")
+    assert rc == 0
+    pts, labs = load_scannet(str(tmp_path), "test", 256)
+    assert pts.shape == (2, 256, 3) and labs.shape == (2, 256)
+    assert np.isfinite(pts).all()
+
+
 def test_whole_scene_eval_emits_voxel_acc(tmp_path):
     """evaluate --whole-scene end to end on the synthetic fallback: logit
     voting runs, and the ScanNet per-voxel accuracy metric is emitted and
