@@ -137,6 +137,9 @@ class DataConfig:
     dropout_max: float = 0.0       # random point dropout ratio upper bound
     shuffle_points: bool = True    # randomizes voxel-slot retention (F-01 semantics)
     num_feats: int = 0             # extra feature channels provided by the dataset
+    # s3dis hdf5 layout: held-out area ("Area_5" = the reference protocol;
+    # set "Area_k" per fold for the paper's 6-fold cross-validation)
+    s3dis_holdout: str = "Area_5"
     # feature columns that are xyz-like (e.g. s3dis normalized room xyz,
     # feat cols 3:6) and must be rotated WITH the cloud during rotation
     # voting / rotation augmentation — else each vote sees inconsistent

@@ -78,7 +78,8 @@ def make_dataset(cfg: DataConfig, split: str, num_classes: int,
         pts, labels = load_modelnet40(root, split, cfg.num_points)
         return Dataset(pts, labels, task="cls", num_classes=40)
     if cfg.dataset == "s3dis" and os.path.isdir(os.path.join(root, "s3dis")):
-        pts, feats, labels = load_s3dis(root, split, cfg.num_points)
+        pts, feats, labels = load_s3dis(root, split, cfg.num_points,
+                                        holdout=cfg.s3dis_holdout)
         return Dataset(pts, labels, features=feats, task="seg",
                        num_classes=13)
     if cfg.dataset == "scannet" and os.path.isdir(

@@ -16,8 +16,14 @@ import numpy as np
 _AREA5_PREFIX = "Area_5"
 
 
-def load_s3dis(root: str, split: str, num_points: int):
-    """Returns (xyz [S,N,3], feats [S,N,6] (rgb+normalized xyz), labels [S,N])."""
+def load_s3dis(root: str, split: str, num_points: int,
+               holdout: str = _AREA5_PREFIX):
+    """Returns (xyz [S,N,3], feats [S,N,6] (rgb+normalized xyz), labels [S,N]).
+
+    `holdout` names the held-out area for the hdf5 layout (default the
+    reference's Area-5 protocol; pass `Area_k` to run the paper's 6-fold
+    cross-validation one fold at a time). The pre-split npy layout ignores
+    it — its files already encode the split."""
     base = os.path.join(root, "s3dis")
     npy_pts = os.path.join(base, f"s3dis_{split}_points.npy")
     if os.path.exists(npy_pts):
@@ -25,7 +31,7 @@ def load_s3dis(root: str, split: str, num_points: int):
         labels = np.load(os.path.join(
             base, f"s3dis_{split}_labels.npy")).astype(np.int32)
     else:
-        pts, labels = _load_hdf5_blocks(base, split)
+        pts, labels = _load_hdf5_blocks(base, split, holdout=holdout)
     pts = pts[:, :num_points]
     labels = labels[:, :num_points]
     xyz = pts[..., :3]
@@ -34,7 +40,8 @@ def load_s3dis(root: str, split: str, num_points: int):
     return xyz, feats, labels
 
 
-def load_s3dis_rooms(root: str, split: str, num_points: int):
+def load_s3dis_rooms(root: str, split: str, num_points: int,
+                     holdout: str = _AREA5_PREFIX):
     """Like `load_s3dis` but also returns each block's room id [S] (int32)
     and the room name list, for the reference's room-level block-merging
     evaluation protocol (SURVEY §2.3 F-16). npy layout: optional
@@ -51,7 +58,8 @@ def load_s3dis_rooms(root: str, split: str, num_points: int):
                  if os.path.exists(rooms_file)
                  else np.zeros(len(pts), np.int32))
     else:
-        pts, labels, rooms = _load_hdf5_blocks(base, split, with_rooms=True)
+        pts, labels, rooms = _load_hdf5_blocks(base, split, with_rooms=True,
+                                               holdout=holdout)
     pts = pts[:, :num_points]
     labels = labels[:, :num_points]
     names, room_ids = np.unique(np.asarray(rooms), return_inverse=True)
@@ -61,9 +69,11 @@ def load_s3dis_rooms(root: str, split: str, num_points: int):
     return xyz, feats, labels, room_ids.astype(np.int32), [str(n) for n in names]
 
 
-def _load_hdf5_blocks(base: str, split: str, with_rooms: bool = False):
-    """Standard indoor3d_sem_seg_hdf5_data layout with room_filelist Area-5
-    holdout (the reference's evaluation protocol, paper §4.4)."""
+def _load_hdf5_blocks(base: str, split: str, with_rooms: bool = False,
+                      holdout: str = _AREA5_PREFIX):
+    """Standard indoor3d_sem_seg_hdf5_data layout with room_filelist
+    `holdout`-area holdout (the reference's evaluation protocol, paper
+    §4.4: Area-5 by default, any area for 6-fold)."""
     import h5py
 
     h5dir = os.path.join(base, "indoor3d_sem_seg_hdf5_data")
@@ -80,7 +90,7 @@ def _load_hdf5_blocks(base: str, split: str, with_rooms: bool = False):
             labels.append(np.asarray(h5["label"], np.int32))
     data = np.concatenate(data, 0)
     labels = np.concatenate(labels, 0)
-    is_test = np.array([r.startswith(_AREA5_PREFIX) for r in rooms])
+    is_test = np.array([r.startswith(holdout) for r in rooms])
     sel = is_test if split != "train" else ~is_test
     if with_rooms:
         return data[sel], labels[sel], np.asarray(rooms)[sel]

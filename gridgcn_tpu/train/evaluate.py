@@ -201,7 +201,8 @@ def evaluate_s3dis_rooms(ckpt_dir: str, votes: int = 1, log_path=None,
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     xyz, feats, labels, room_ids, names = load_s3dis_rooms(
-        cfg.data.root, "test", cfg.data.num_points)
+        cfg.data.root, "test", cfg.data.num_points,
+        holdout=cfg.data.s3dis_holdout)
     C = cfg.model.num_classes
     fwd = jax.jit(lambda x, f, m, k: model.apply(
         variables, x, f, m, train=False, rngs={"cagq": k}))

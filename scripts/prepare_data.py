@@ -99,14 +99,17 @@ def scannet_from_pickle(root: str, pickle_path: str, split: str) -> int:
     return 0
 
 
-def s3dis_from_hdf5(root: str) -> int:
+def s3dis_from_hdf5(root: str, holdout: str = "Area_5") -> int:
     """Materialize the hdf5 distribution as the npy layout WITH room ids
-    (`s3dis_<split>_rooms.npy`), so room-level eval never re-reads HDF5."""
+    (`s3dis_<split>_rooms.npy`), so room-level eval never re-reads HDF5.
+    `holdout` picks the held-out area (Area_5 = reference protocol; run
+    once per Area_k for the paper's 6-fold cross-validation)."""
     from gridgcn_tpu.data.s3dis import _load_hdf5_blocks
 
     base = os.path.join(root, "s3dis")
     for split in ("train", "test"):
-        pts, labels, rooms = _load_hdf5_blocks(base, split, with_rooms=True)
+        pts, labels, rooms = _load_hdf5_blocks(base, split, with_rooms=True,
+                                               holdout=holdout)
         np.save(os.path.join(base, f"s3dis_{split}_points.npy"), pts)
         np.save(os.path.join(base, f"s3dis_{split}_labels.npy"), labels)
         np.save(os.path.join(base, f"s3dis_{split}_rooms.npy"),
@@ -126,12 +129,14 @@ def main(argv=None):
     c = sub.add_parser("s3dis");   c.add_argument("--root", default="data")
     # accepted for CLI-doc compat; hdf5 is the only s3dis source
     c.add_argument("--from-hdf5", action="store_true")
+    c.add_argument("--holdout", default="Area_5",
+                   help="held-out area (Area_k for 6-fold CV)")
     args = p.parse_args(argv)
     if args.cmd == "check":
         return check(args.root)
     if args.cmd == "scannet":
         return scannet_from_pickle(args.root, args.pickle, args.split)
-    return s3dis_from_hdf5(args.root)
+    return s3dis_from_hdf5(args.root, holdout=args.holdout)
 
 
 if __name__ == "__main__":

@@ -251,6 +251,15 @@ def test_prepare_s3dis_hdf5_roundtrip(tmp_path):
         + ["Area_5_hallway_1"] * 2
     (h5dir / "room_filelist.txt").write_text("\n".join(rooms) + "\n")
 
+    # 6-fold capability (hdf5-direct path, before npy shadows it): any
+    # area can be the held-out fold
+    f1_xyz, _, _ = load_s3dis(str(tmp_path), "test", 64, holdout="Area_1")
+    f1_tr, _, _ = load_s3dis(str(tmp_path), "train", 64, holdout="Area_1")
+    assert f1_xyz.shape[0] == 4 and f1_tr.shape[0] == 4
+    _, _, _, _, names1 = load_s3dis_rooms(str(tmp_path), "test", 64,
+                                          holdout="Area_1")
+    assert names1 and all(n.startswith("Area_1") for n in names1)
+
     rc = s3dis_from_hdf5(str(tmp_path))
     assert rc == 0
     xyz, feats, labels = load_s3dis(str(tmp_path), "test", 64)
