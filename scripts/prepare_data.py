@@ -27,9 +27,10 @@ import sys
 import numpy as np
 
 
-def check(root: str) -> int:
-    """Report which datasets are discoverable under `root`."""
-    ok = True
+def check(root: str, dataset: str | None = None) -> int:
+    """Report which datasets are discoverable under `root`. With `dataset`,
+    the exit code reflects only that dataset (so `parity --dataset s3dis`
+    needs only the s3dis files); without it, all three must be present."""
     mn = os.path.join(root, "modelnet40_ply_hdf5_2048", "test_files.txt")
     print(f"modelnet40: {'FOUND' if os.path.exists(mn) else 'missing'} "
           f"({mn})")
@@ -41,10 +42,13 @@ def check(root: str) -> int:
           f"({s3_h5} | {s3_npy})")
     sc = os.path.join(root, "scannet", "scannet_test_points.npy")
     print(f"scannet: {'FOUND' if os.path.exists(sc) else 'missing'} ({sc})")
-    for p in (mn, sc):
-        ok = ok and os.path.exists(p)
-    ok = ok and (os.path.exists(s3_h5) or os.path.exists(s3_npy))
-    print("all datasets present" if ok else
+    present = {
+        "modelnet40": os.path.exists(mn),
+        "s3dis": os.path.exists(s3_h5) or os.path.exists(s3_npy),
+        "scannet": os.path.exists(sc),
+    }
+    ok = present[dataset] if dataset else all(present.values())
+    print("all datasets present" if all(present.values()) else
           "some datasets missing — parity checks limited to what's present")
     return 0 if ok else 1
 
