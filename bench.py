@@ -73,7 +73,7 @@ def _capacity_report(cfg, xyz, mask):
 
 
 def bench_seg_whole_scene(batch_size: int, iters: int, knn: str = "auto",
-                          scenes=("uniform",)):
+                          scenes=("uniform",), trace_dir: str | None = None):
     """Whole-scene segmentation inference throughput (BASELINE config 5).
     All requested scene geometries share ONE jitted forward (identical
     shapes), so the model compiles once."""
@@ -103,9 +103,19 @@ def bench_seg_whole_scene(batch_size: int, iters: int, knn: str = "auto",
     rng = jax.random.PRNGKey(0)
     mask = jnp.ones((batch_size, N), bool)
     out = {}
-    for scene in scenes:
+    for i, scene in enumerate(scenes):
         xyz = _scene_points(scene, batch_size, N, rng)
         dt = _time_fn(forward, variables, xyz, mask, rng, iters=iters)
+        if trace_dir and i == len(scenes) - 1:
+            # capture the headline scene's steady state for exclusive-time
+            # attribution (utils/traceview; drove every BASELINE.md win)
+            from gridgcn_tpu.utils.profiling import trace
+
+            with trace(trace_dir):
+                o = None
+                for _ in range(10):
+                    o = forward(variables, xyz, mask, rng)
+                float(o)
         out[scene] = {
             "scene_points": N,
             "batch_size": batch_size,
@@ -227,12 +237,24 @@ def main(argv=None):
                    choices=["uniform", "surface", "both"],
                    help="bench input geometry; headline uses 'surface' "
                         "(realistic skewed density) when 'both'")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a 10-iter device trace of the headline "
+                        "forward into DIR and print the exclusive-time "
+                        "attribution (stderr)")
     args = p.parse_args(argv)
 
     scenes = (["uniform", "surface"] if args.scene == "both"
               else [args.scene])
     runs = bench_seg_whole_scene(args.batch_size, args.iters,
-                                 knn=args.knn, scenes=scenes)
+                                 knn=args.knn, scenes=scenes,
+                                 trace_dir=args.trace)
+    if args.trace:
+        from gridgcn_tpu.utils.traceview import report
+        try:
+            print(report(args.trace, iters=10), file=sys.stderr)
+        except Exception as e:   # xplane proto availability varies
+            print(f"trace captured in {args.trace}; report failed: {e}",
+                  file=sys.stderr)
     # headline = surface (realistic density) when available; uniform
     # numbers stay in the detail for round-over-round comparison
     seg = runs.get("surface", runs[scenes[0]])

@@ -95,6 +95,9 @@ def load_events(logdir: str) -> List[Event]:
 
 def report(logdir: str, iters: int = 1, topn: int = 30) -> str:
     events = load_events(logdir)
+    if not events:
+        return (f"no device-plane XLA Ops events under {logdir} "
+                "(CPU-backend traces carry none; run on TPU)")
     excl = exclusive_times(events)
     span = events[-1][1] - events[0][0]
     busy = sum(excl.values())
