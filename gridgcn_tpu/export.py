@@ -105,9 +105,15 @@ class ExportedPredictor:
         self.N = self.meta["num_points"]
         self.Cin = self.meta["in_channels"]
 
-    def __call__(self, xyz, feat=None, mask=None, rng=None):
+    def __call__(self, xyz, feat=None, mask=None, rng=None,
+                 votes: int = 1):
+        """`votes` > 1 logit-averages that many CAGQ seeds (the whole-scene
+        voting protocol) — the padded input is staged once."""
         import jax
         import jax.numpy as jnp
+
+        if votes < 1:
+            raise ValueError(f"votes must be >= 1, got {votes}")
 
         xyz = np.asarray(xyz, np.float32)
         squeeze = xyz.ndim == 2
@@ -141,9 +147,14 @@ class ExportedPredictor:
             call_args.append(jnp.asarray(fx))
         call_args.append(jnp.asarray(m))
         key = rng if rng is not None else jax.random.PRNGKey(0)
-        call_args.append(jnp.asarray(key, jnp.uint32))
+        key = jnp.asarray(key, jnp.uint32)
 
-        out = np.asarray(self._exp.call(*call_args))
+        acc = None
+        for v in range(votes):
+            k = jax.random.fold_in(key, v) if votes > 1 else key
+            lg = self._exp.call(*call_args, jnp.asarray(k, jnp.uint32))
+            acc = lg if acc is None else acc + lg
+        out = np.asarray(acc) / votes
         out = out[:Bq, :Nq] if self.task == "seg" else out[:Bq]
         return out[0] if squeeze else out
 

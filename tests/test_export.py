@@ -91,3 +91,9 @@ def test_export_seg_and_cli(tmp_path):
     out_trim = frozen(scene[:1, :200])
     assert out_trim.shape == (1, 200, cfg.model.num_classes)
     assert np.isfinite(out_trim).all()
+    # voting protocol on the frozen artifact: averages distinct CAGQ seeds
+    out_v = frozen(scene, votes=3)
+    assert out_v.shape == out_full.shape and np.isfinite(out_v).all()
+    assert not np.allclose(out_v, out_full)
+    with pytest.raises(ValueError, match="votes"):
+        frozen(scene, votes=0)
