@@ -149,9 +149,11 @@ class Predictor:
                 self._scene_fwds[spatial] = make_resident_forward(
                     self.cfg, self._mesh)
             predict = resident_seg_predict
+        # capacity auto-sizes to the scene's max slab+halo occupancy (~N/D
+        # per shard, not N — staging the whole scene on every shard would
+        # defeat the memory point of resident sharding)
         return predict(self.cfg, self._variables, xyz, mask, self._mesh,
-                       capacity=xyz.shape[0], rng=rng,
-                       fwd=self._scene_fwds[spatial], votes=votes)
+                       rng=rng, fwd=self._scene_fwds[spatial], votes=votes)
 
 
 def load_predictor(ckpt_dir: str, step: Optional[int] = None,

@@ -22,9 +22,18 @@ def _unit_sphere(pts: np.ndarray) -> np.ndarray:
     return pts / np.maximum(scale, 1e-8)
 
 
-def load_modelnet40(root: str, split: str, num_points: int):
-    """Returns (points [S, num_points, 3] float32, labels [S] int32)."""
+def load_modelnet40(root: str, split: str, num_points: int, seed: int = 0):
+    """Returns (points [S, num_points, 3] float32, labels [S] int32).
+
+    The 2048→num_points subsample is a seeded per-cloud random subset
+    without replacement through the threaded native kernel
+    (data/native.sample_points — F-11's documented consumer). The
+    reference lineage slices the prefix instead; the h5 dumps store points
+    in random order, so the two are distributionally equivalent, but the
+    explicit sample doesn't depend on that file-order property."""
     import h5py
+
+    from gridgcn_tpu.data import native
 
     base = os.path.join(root, "modelnet40_ply_hdf5_2048")
     list_file = os.path.join(base, f"{'train' if split == 'train' else 'test'}_files.txt")
@@ -35,9 +44,15 @@ def load_modelnet40(root: str, split: str, num_points: int):
     all_pts, all_labels = [], []
     for fn in files:
         with h5py.File(fn, "r") as h5:
-            all_pts.append(np.asarray(h5["data"][:, :num_points, :3],
-                                      np.float32))
+            all_pts.append(np.asarray(h5["data"][..., :3], np.float32))
             all_labels.append(np.asarray(h5["label"]).reshape(-1))
-    pts = _unit_sphere(np.concatenate(all_pts, 0))
+    pts = np.concatenate(all_pts, 0)
+    if num_points < pts.shape[1]:
+        pts = native.sample_points(
+            pts, np.arange(pts.shape[0], dtype=np.int32), num_points,
+            seed=seed)
+    else:
+        pts = pts[:, :num_points]
+    pts = _unit_sphere(pts)
     labels = np.concatenate(all_labels, 0).astype(np.int32)
     return pts, labels

@@ -63,6 +63,16 @@ def build(force: bool = False) -> bool:
     return available()
 
 
+def _check_idx(idx: np.ndarray, n: int) -> None:
+    """The C kernels memcpy blindly; validate here so the native path raises
+    the same clean IndexError the NumPy fallback would (instead of reading
+    out of bounds / segfaulting)."""
+    if idx.size and (int(idx.min()) < 0 or int(idx.max()) >= n):
+        raise IndexError(
+            f"index out of range for {n} rows: "
+            f"[{int(idx.min())}, {int(idx.max())}]")
+
+
 def gather_rows(src: np.ndarray, idx: np.ndarray, threads: int = 8
                 ) -> np.ndarray:
     """out[i] = src[idx[i]] — batch assembly. src [S, ...], idx [B] int32."""
@@ -71,6 +81,7 @@ def gather_rows(src: np.ndarray, idx: np.ndarray, threads: int = 8
     lib = _load()
     if lib is None:
         return np.take(src, idx, axis=0)
+    _check_idx(idx, src.shape[0])
     out = np.empty((idx.shape[0],) + src.shape[1:], src.dtype)
     row_bytes = src.dtype.itemsize * int(np.prod(src.shape[1:], dtype=np.int64))
     lib.gg_gather_rows(
@@ -98,6 +109,7 @@ def sample_points(src: np.ndarray, idx: np.ndarray, n_out: int,
             sel = rng.choice(N, n_out, replace=n_out > N)
             out[i] = src[idx[i]][sel]
         return out
+    _check_idx(idx, S)
     out = np.empty((B, n_out, C), np.float32)
     lib.gg_sample_points_f32(
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

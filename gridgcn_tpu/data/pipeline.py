@@ -54,15 +54,23 @@ class Dataset:
             stop = n
         for s in range(0, stop, batch_size):
             idx = order[s:s + batch_size]
-            if len(idx) < batch_size:   # pad the final partial batch
-                pad = rng.choice(order, batch_size - len(idx))
+            n_real = len(idx)
+            if n_real < batch_size:   # pad the final partial batch
+                pad = rng.choice(order, batch_size - n_real)
                 idx = np.concatenate([idx, pad])
             idx = np.ascontiguousarray(idx, np.int32)
             xyz = native.gather_rows(self.points, idx)   # threaded C++ path
+            # pad rows are duplicate clouds kept only for the static batch
+            # shape; example_mask lets eval steps exclude them from the
+            # confusion matrix (they'd otherwise bias OA/mIoU ~1% on splits
+            # that don't divide the batch size)
+            example_mask = np.zeros(batch_size, bool)
+            example_mask[:n_real] = True
             batch = {
                 "xyz": xyz,
                 "label": native.gather_rows(self.labels, idx),
                 "mask": np.ones(xyz.shape[:2], bool),
+                "example_mask": example_mask,
             }
             if self.features is not None:
                 batch["feat"] = native.gather_rows(self.features, idx)

@@ -22,11 +22,13 @@ def load_s3dis(root: str, split: str, num_points: int,
 
     `holdout` names the held-out area for the hdf5 layout (default the
     reference's Area-5 protocol; pass `Area_k` to run the paper's 6-fold
-    cross-validation one fold at a time). The pre-split npy layout ignores
-    it — its files already encode the split."""
+    cross-validation one fold at a time). The pre-split npy layout CANNOT
+    re-split — its files already encode one holdout — so a non-default
+    `holdout` with npy files present is an error, not a silent Area-5 run."""
     base = os.path.join(root, "s3dis")
     npy_pts = os.path.join(base, f"s3dis_{split}_points.npy")
     if os.path.exists(npy_pts):
+        _check_npy_holdout(holdout, npy_pts)
         pts = np.load(npy_pts).astype(np.float32)
         labels = np.load(os.path.join(
             base, f"s3dis_{split}_labels.npy")).astype(np.int32)
@@ -50,6 +52,7 @@ def load_s3dis_rooms(root: str, split: str, num_points: int,
     base = os.path.join(root, "s3dis")
     npy_pts = os.path.join(base, f"s3dis_{split}_points.npy")
     if os.path.exists(npy_pts):
+        _check_npy_holdout(holdout, npy_pts)
         pts = np.load(npy_pts).astype(np.float32)
         labels = np.load(os.path.join(
             base, f"s3dis_{split}_labels.npy")).astype(np.int32)
@@ -67,6 +70,25 @@ def load_s3dis_rooms(root: str, split: str, num_points: int,
     feats = pts[..., 3:9] if pts.shape[-1] >= 9 else np.zeros(
         (*xyz.shape[:2], 6), np.float32)
     return xyz, feats, labels, room_ids.astype(np.int32), [str(n) for n in names]
+
+
+def _check_npy_holdout(holdout: str, npy_pts: str) -> None:
+    """The npy layout bakes ONE holdout at prep time (scripts/
+    prepare_data.py records it in `s3dis_holdout.txt`); silently serving a
+    mismatched split under a fold_k label would mislabel cross-validation
+    results, so refuse instead. Files without the marker (hand-prepped)
+    are assumed to be the reference's Area-5 protocol."""
+    marker = os.path.join(os.path.dirname(npy_pts), "s3dis_holdout.txt")
+    baked = _AREA5_PREFIX
+    if os.path.exists(marker):
+        baked = open(marker).read().strip()
+    if holdout != baked:
+        raise ValueError(
+            f"holdout={holdout!r} requested but the pre-split npy layout "
+            f"({npy_pts}) encodes holdout={baked!r}; re-run "
+            f"scripts/prepare_data.py s3dis --holdout {holdout} (separate "
+            f"root per fold), or remove the npy files to re-split from the "
+            f"hdf5 layout")
 
 
 def _load_hdf5_blocks(base: str, split: str, with_rooms: bool = False,

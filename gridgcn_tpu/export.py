@@ -166,6 +166,9 @@ def load_exported(path: str) -> ExportedPredictor:
 def main(argv=None):
     import argparse
 
+    from gridgcn_tpu.utils.platform import force_platform_from_env
+
+    force_platform_from_env()
     ap = argparse.ArgumentParser(
         description="Freeze a checkpoint's forward into a serving artifact")
     ap.add_argument("--ckpt-dir", required=True)
@@ -187,11 +190,6 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    import os
     import sys
 
-    # the axon PJRT plugin ignores JAX_PLATFORMS; force it the conftest way
-    if os.environ.get("JAX_PLATFORMS"):
-        import jax
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     sys.exit(main())

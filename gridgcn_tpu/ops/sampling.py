@@ -27,6 +27,15 @@ from gridgcn_tpu.ops.voxelize import VoxelTable
 _NEG_INF = -1e30
 
 
+def _threshold_margin_ok(M: int) -> bool:
+    """Threshold sampling keeps the binomial count under M via an M − 3√M
+    safety margin; at M ≤ 9 the margin consumes ALL of M (p would clamp to
+    0 and NO centers would be selected whenever n_occ > M). Static check —
+    such small M falls back to the exact Gumbel top-k, which is cheap
+    there anyway."""
+    return M - 3.0 * float(M) ** 0.5 >= 1.0
+
+
 def _rvs_one(occupied: jax.Array, M: int, key: jax.Array,
              approx: bool = False):
     """Uniform sample of M distinct occupied voxels.
@@ -41,7 +50,7 @@ def _rvs_one(occupied: jax.Array, M: int, key: jax.Array,
     Yields an unbiased uniform subset of expected size M−3√M; the shortfall
     rides the center-validity mask like any other partially-filled capacity."""
     V = occupied.shape[0]
-    if not approx:
+    if not approx or not _threshold_margin_ok(M):
         g = jax.random.gumbel(key, (V,))
         score = jnp.where(occupied, g, _NEG_INF)
         vals, vids = jax.lax.top_k(score, M)
@@ -90,7 +99,7 @@ def sample_centers_rvs(table: VoxelTable, M: int, key: jax.Array,
     """Returns (center_vids [B, M] int32, center_valid [B, M] bool)."""
     B = table.occupancy.shape[0]
     keys = jax.random.split(key, B)
-    if approx:
+    if approx and _threshold_margin_ok(M):
         V = table.num_voxels
         return jax.vmap(lambda sv, k: _rvs_one_sorted(sv, V, M, k))(
             table.sorted_vid, keys)
@@ -148,7 +157,7 @@ def _cas_one(occupied: jax.Array, M: int, key: jax.Array,
     V = occupied.shape[0]
     k_init, k_rounds = jax.random.split(key)
 
-    if approx and sorted_vid is not None:
+    if approx and sorted_vid is not None and _threshold_margin_ok(M):
         sel_vids, sel_valid = _rvs_one_sorted(sorted_vid, V, M, k_init)
     else:
         sel_vids, sel_valid = _rvs_one(occupied, M, k_init, approx=approx)

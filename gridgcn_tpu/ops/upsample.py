@@ -207,6 +207,13 @@ def grid_three_nn(query_xyz: jax.Array, query_mask: jax.Array,
         table.origin, table.vsize)
 
 
+# When True, the k neighbor-row gathers of three_nn_interpolate are issued
+# as ONE gather at the consumer's [Nq, k] index space (experimental A/B knob;
+# see docs/design.md §11 — the 3 separate gathers measure 1.57 ms/scene
+# against a 1.05 ms descriptor-rate floor for the same 3·Nq rows).
+_INTERP_COMBINED = False
+
+
 def three_nn_interpolate(support_feat: jax.Array, nn_idx: jax.Array,
                          weights: jax.Array) -> jax.Array:
     """Inverse-distance feature interpolation: [B,Ns,C] → [B,Nq,C].
@@ -216,6 +223,12 @@ def three_nn_interpolate(support_feat: jax.Array, nn_idx: jax.Array,
     whole-scene sizes); k separate [Nq, C] row-gathers fuse with their
     multiply-accumulate and never build it."""
     def one(feat, idx, w):
+        if _INTERP_COMBINED:
+            g = feat[idx]                          # [Nq, k, C] one gather
+            out = w[:, 0, None] * g[:, 0]
+            for j in range(1, idx.shape[1]):       # same add order as below
+                out = out + w[:, j, None] * g[:, j]
+            return out
         out = w[:, 0:1] * feat[idx[:, 0]]
         for j in range(1, idx.shape[1]):
             out = out + w[:, j:j + 1] * feat[idx[:, j]]

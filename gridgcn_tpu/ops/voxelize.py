@@ -245,6 +245,15 @@ def _build_one(xyz: jax.Array, mask: jax.Array, rand: jax.Array,
         # run through approx_max_k (PartialReduce) instead of a full sort
         idx_bits = max(1, int(N - 1).bit_length())
         cov_bits = COV_BITS
+        if idx_bits + cov_bits + 1 > 29:
+            # the layout is [valid:1 @29 | rand | coverage:6 | index]; with
+            # no headroom left the rand bit would alias the valid bit and
+            # dropped points would masquerade as selectable (static shape
+            # check — N is a trace-time constant)
+            raise ValueError(
+                f"selection-key packing supports at most 2^{29 - cov_bits - 1}"
+                f" points per cloud (N={N}); shard the cloud (parallel/"
+                f"resident) or disable with_keys for larger inputs")
         rand_bits = max(1, 29 - idx_bits - cov_bits)
         cov_q = encode_coverage(seg_len)
         # random selection-key bits: reuse the top of the packed sort key's

@@ -17,16 +17,14 @@ from gridgcn_tpu.parallel.mesh import batch_sharding, replicated
 from gridgcn_tpu.train.steps import build_eval_step, build_train_step
 
 
-def _batch_shardings(batch_keys, mesh):
-    sh = batch_sharding(mesh)
-    return {k: sh for k in batch_keys}
-
-
 def make_parallel_train_step(cfg: Config, model, mesh, sched=None,
-                             batch_keys=("xyz", "label", "mask"),
                              donate: bool = True, class_weights=None):
     """DP version of train.steps.make_train_step: state replicated, batch
     sharded on the 'data' axis, state output kept replicated.
+
+    The batch sharding is a PREFIX for the whole batch dict (every entry is
+    batch-leading — xyz [B,N,3] … example_mask [B]), so new batch keys never
+    need registering here.
 
     `donate=False` keeps the input state alive (device_put onto the mesh can
     alias the source buffers, so donation would invalidate the original)."""
@@ -34,17 +32,16 @@ def make_parallel_train_step(cfg: Config, model, mesh, sched=None,
     return jax.jit(
         build_train_step(cfg, model, sched=sched,
                          class_weights=class_weights),
-        in_shardings=(rep, _batch_shardings(batch_keys, mesh), rep),
+        in_shardings=(rep, batch_sharding(mesh), rep),
         out_shardings=(rep, rep),
         donate_argnums=(0,) if donate else (),
     )
 
 
-def make_parallel_eval_step(cfg: Config, model, mesh,
-                            batch_keys=("xyz", "label", "mask")):
+def make_parallel_eval_step(cfg: Config, model, mesh):
     rep = replicated(mesh)
     return jax.jit(
         build_eval_step(cfg, model),
-        in_shardings=(rep, _batch_shardings(batch_keys, mesh), rep),
+        in_shardings=(rep, batch_sharding(mesh), rep),
         out_shardings=rep,
     )

@@ -65,6 +65,9 @@ def maybe_init_distributed():
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not addr:
         return
+    if jax.distributed.is_initialized():
+        return   # keep the documented no-op on repeat calls (e.g. two
+                 # train() invocations in one process)
     nproc = os.environ.get("JAX_NUM_PROCESSES")
     pid = os.environ.get("JAX_PROCESS_ID")
     jax.distributed.initialize(

@@ -191,15 +191,20 @@ def resident_halo(cfg: Config, vsize: np.ndarray) -> float:
 
 
 def resident_seg_predict(cfg: Config, variables, xyz: np.ndarray,
-                         mask: np.ndarray, mesh: Mesh, capacity: int,
+                         mask: np.ndarray, mesh: Mesh,
+                         capacity: Optional[int] = None,
                          rng: Optional[jax.Array] = None,
                          fwd=None, votes: int = 1) -> np.ndarray:
     """Whole-scene per-point logits with the dense level sharded over the
     mesh. xyz [N, 3], mask [N] → logits [N, num_classes] (zeros for invalid
     points). Pass a prebuilt `fwd` (make_resident_forward) to reuse the
-    compiled executable across scenes. `votes` > 1 logit-averages that many
-    CAGQ seeds (rng fold_in per vote) — partitioning and parameter staging
-    happen once, not per vote."""
+    compiled executable across scenes. `capacity` = static per-shard point
+    budget (default: auto-sized to the scene's max slab+halo occupancy —
+    ~N/D, NOT N, so shards hold only their slab). `votes` > 1
+    logit-averages that many CAGQ seeds (rng fold_in per vote) —
+    partitioning and parameter staging happen once, not per vote."""
+    from gridgcn_tpu.parallel.spatial import suggest_capacity
+
     D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     res0 = cfg.model.layers[0].resolution
 
@@ -208,8 +213,11 @@ def resident_seg_predict(cfg: Config, variables, xyz: np.ndarray,
     origin = np.asarray(origin)[0]
     vsize = np.asarray(vsize)[0]
 
+    halo = resident_halo(cfg, vsize)
+    if capacity is None:
+        capacity = suggest_capacity(xyz, mask, D, halo)
     sx, sm, owned, sidx, edges = partition_scene(
-        xyz, mask, D, resident_halo(cfg, vsize), capacity)
+        xyz, mask, D, halo, capacity)
 
     if fwd is None:
         fwd = make_resident_forward(cfg, mesh)

@@ -72,10 +72,17 @@ def _band_index(x: jax.Array, sel: jax.Array, H: int):
     every other fixed capacity in this framework (SURVEY §7 H1) — but the
     drop count is surfaced so callers can size ghost_cap from data instead
     of discovering silent accuracy loss (ADVICE r1 #2)."""
+    M = x.shape[0]
     rank = jnp.cumsum(sel) - 1
-    dest = jnp.where(sel & (rank < H), rank, H)
-    idx = jnp.full((H + 1,), -1, jnp.int32).at[dest].set(
-        jnp.arange(x.shape[0], dtype=jnp.int32), unique_indices=True)[:H]
+    # every row gets its OWN destination: kept rows land at their rank,
+    # unselected/overflowing rows at a private slot ≥ H that the final
+    # [:H] slice discards — so the unique_indices promise is honest (the
+    # previous form sent ALL dropped rows to one sentinel slot, which is
+    # duplicate indices under a uniqueness promise = undefined behavior)
+    arange = jnp.arange(M, dtype=jnp.int32)
+    dest = jnp.where(sel & (rank < H), rank, H + arange)
+    idx = jnp.full((H + M,), -1, jnp.int32).at[dest].set(
+        arange, unique_indices=True)[:H]
     dropped = jnp.maximum(jnp.sum(sel.astype(jnp.int32)) - H, 0)
     return jnp.maximum(idx, 0), idx >= 0, dropped
 
@@ -258,14 +265,19 @@ def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap: int = 0,
 
 
 def resident_ml_seg_predict(cfg: Config, variables, xyz: np.ndarray,
-                            mask: np.ndarray, mesh: Mesh, capacity: int,
+                            mask: np.ndarray, mesh: Mesh,
+                            capacity: Optional[int] = None,
                             rng: Optional[jax.Array] = None,
                             ghost_cap: int = 0, fwd=None,
                             votes: int = 1) -> np.ndarray:
     """Whole-scene per-point logits with EVERY level sharded over the mesh.
     xyz [N, 3], mask [N] → logits [N, num_classes] (zeros for invalid).
-    `votes` > 1 logit-averages that many CAGQ seeds; partitioning and
-    parameter staging happen once, not per vote."""
+    `capacity` = static per-shard point budget (default: auto-sized to the
+    scene's max slab+halo occupancy — ~N/D, NOT N). `votes` > 1
+    logit-averages that many CAGQ seeds; partitioning and parameter staging
+    happen once, not per vote."""
+    from gridgcn_tpu.parallel.spatial import suggest_capacity
+
     D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     res0 = cfg.model.layers[0].resolution
 
@@ -274,8 +286,11 @@ def resident_ml_seg_predict(cfg: Config, variables, xyz: np.ndarray,
     origin = np.asarray(origin)[0]
     extent = np.asarray(vsize)[0] * res0 / (1.0 + 1e-5)
 
+    halo = resident_halo(cfg, np.asarray(vsize)[0])
+    if capacity is None:
+        capacity = suggest_capacity(xyz, mask, D, halo)
     sx, sm, owned, sidx, edges = partition_scene(
-        xyz, mask, D, resident_halo(cfg, np.asarray(vsize)[0]), capacity)
+        xyz, mask, D, halo, capacity)
 
     if fwd is None:
         fwd = make_resident_ml_forward(cfg, mesh, ghost_cap=ghost_cap)

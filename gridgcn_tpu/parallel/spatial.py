@@ -57,6 +57,37 @@ def required_halo(cfg, extent: float) -> float:
     return reach
 
 
+def _slab_edges(x: np.ndarray, n_shards: int) -> np.ndarray:
+    """Slab boundaries along the partition axis: equal-width bins over the
+    occupied extent, ±inf at the ends. The ONE binning rule shared by
+    `partition_scene` and `suggest_capacity` — if they ever disagreed, the
+    auto-sized capacity would under-provision and partitioning would raise."""
+    edges = np.linspace(float(x.min()), float(x.max()), n_shards + 1)
+    edges[0], edges[-1] = -np.inf, np.inf
+    return edges
+
+
+def suggest_capacity(xyz: np.ndarray, mask: np.ndarray, n_shards: int,
+                     halo: float, axis: int = 0,
+                     round_to: int = 1024) -> int:
+    """Smallest static per-shard capacity `partition_scene` needs for this
+    scene (max own+halo occupancy over slabs), rounded up to a multiple of
+    `round_to` so similarly-sized scenes reuse one compiled executable.
+
+    Sizing capacity to the whole scene (the obvious safe choice) stages the
+    full dense level on EVERY shard — D× the scene's footprint — which
+    defeats the memory point of resident sharding; the true need is
+    ~N/D + halo occupancy."""
+    pts = xyz[mask]
+    if pts.shape[0] == 0:
+        return round_to
+    x = pts[:, axis]
+    edges = _slab_edges(x, n_shards)
+    need = max(int(((x >= edges[d] - halo) & (x < edges[d + 1] + halo)).sum())
+               for d in range(n_shards))
+    return int(min(-(-max(need, 1) // round_to) * round_to, pts.shape[0]))
+
+
 def partition_scene(xyz: np.ndarray, mask: np.ndarray, n_shards: int,
                     halo: float, capacity: int, axis: int = 0):
     """Split one scene into x-slabs + halo strips (host side, NumPy).
@@ -76,9 +107,7 @@ def partition_scene(xyz: np.ndarray, mask: np.ndarray, n_shards: int,
     pts = xyz[mask]
     orig = np.nonzero(mask)[0].astype(np.int32)
     x = pts[:, axis]
-    lo, hi = float(x.min()), float(x.max())
-    edges = np.linspace(lo, hi, n_shards + 1)
-    edges[0], edges[-1] = -np.inf, np.inf
+    edges = _slab_edges(x, n_shards)
 
     shard_xyz = np.zeros((n_shards, capacity, 3), xyz.dtype)
     shard_mask = np.zeros((n_shards, capacity), bool)

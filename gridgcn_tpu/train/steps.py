@@ -155,6 +155,18 @@ def make_train_step(cfg: Config, model: nn.Module, sched=None,
                    donate_argnums=(0,) if donate else ())
 
 
+def _confusion_mask(cfg: Config, batch: dict):
+    """Confusion-matrix weighting for an eval batch: per-point mask for seg,
+    none for cls — in both cases excluding the duplicate clouds that pad the
+    final partial batch (batch['example_mask'], data/pipeline.py), which
+    would otherwise be double-counted in OA/mIoU."""
+    em = batch.get("example_mask")
+    if cfg.model.task == "seg":
+        mask = batch["mask"]
+        return mask & em[:, None] if em is not None else mask
+    return em
+
+
 def build_eval_step(cfg: Config, model: nn.Module):
     """Raw (unjitted) (state, batch, rng) → confusion-matrix [C, C] step."""
 
@@ -164,7 +176,7 @@ def build_eval_step(cfg: Config, model: nn.Module):
         logits = model.apply(
             variables, batch["xyz"], batch.get("feat", None), batch["mask"],
             train=False, rngs={"cagq": rng})
-        mask = batch["mask"] if cfg.model.task == "seg" else None
+        mask = _confusion_mask(cfg, batch)
         return confusion_matrix(logits, batch["label"],
                                 cfg.model.num_classes, mask)
 
@@ -207,7 +219,7 @@ def make_voting_eval_step(cfg: Config, model: nn.Module, votes: int):
                 batch["mask"], train=False,
                 rngs={"cagq": jax.random.fold_in(rng, v)})
             acc = logits if acc is None else acc + logits
-        mask = batch["mask"] if cfg.model.task == "seg" else None
+        mask = _confusion_mask(cfg, batch)
         return confusion_matrix(acc, batch["label"],
                                 cfg.model.num_classes, mask)
 

@@ -55,13 +55,9 @@ def train(cfg: Config, mesh_devices: int = 0, log_path: str | None = None,
 
     mesh = make_mesh(mesh_devices) if mesh_devices else None
     if mesh is not None:
-        batch_keys = ("xyz", "label", "mask") + (
-            ("feat",) if train_ds.features is not None else ())
         train_step = make_parallel_train_step(cfg, model, mesh, sched,
-                                              batch_keys=batch_keys,
                                               class_weights=class_weights)
-        eval_step = make_parallel_eval_step(cfg, model, mesh,
-                                            batch_keys=batch_keys)
+        eval_step = make_parallel_eval_step(cfg, model, mesh)
     else:
         train_step = make_train_step(cfg, model, sched,
                                      class_weights=class_weights)
@@ -210,11 +206,9 @@ def train_spatial(cfg: Config, mesh_devices: int,
 
 
 def main(argv=None):
-    # some PJRT plugins (e.g. tunneled TPU backends) ignore the JAX_PLATFORMS
-    # env var — honor it explicitly so CPU-mesh runs work from the CLI
-    import os
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from gridgcn_tpu.utils.platform import force_platform_from_env
+
+    force_platform_from_env()
     p = argparse.ArgumentParser(description="gridgcn_tpu trainer")
     p.add_argument("--preset", default="modelnet40_full",
                    choices=sorted(presets.PRESETS))

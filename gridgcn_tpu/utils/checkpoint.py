@@ -30,7 +30,18 @@ class CheckpointManager:
                 max_to_keep=keep, create=True),
         )
         cfg_path = os.path.join(self.directory, "config.json")
-        if not os.path.exists(cfg_path):
+        if os.path.exists(cfg_path):
+            # a checkpoint dir is bound to ONE config: a silent mismatch
+            # would resume/serve the old weights under new hyperparameters
+            # (or die later in from_state_dict with a bare shape error)
+            with open(cfg_path) as f:
+                existing = f.read()
+            if existing != to_json(cfg):
+                raise ValueError(
+                    f"{cfg_path} was written by a different config; "
+                    f"pick a fresh ckpt_dir for a new configuration "
+                    f"(or delete the directory to restart)")
+        else:
             with open(cfg_path, "w") as f:
                 f.write(to_json(cfg))
 

@@ -41,12 +41,15 @@ def check_capacity(table: VoxelTable, max_dropped_frac: float = 0.05):
 
 @contextlib.contextmanager
 def debug_mode():
-    """NaN debugging for a scope: `with debug_mode(): train_step(...)`."""
+    """NaN debugging for a scope: `with debug_mode(): train_step(...)`.
+    Restores the PRIOR flag value on exit (a user running with
+    JAX_DEBUG_NANS=1 keeps their global setting)."""
+    prev = jax.config.jax_debug_nans
     jax.config.update("jax_debug_nans", True)
     try:
         yield
     finally:
-        jax.config.update("jax_debug_nans", False)
+        jax.config.update("jax_debug_nans", prev)
 
 
 def checkify_call(fn: Callable, *args):

@@ -64,11 +64,17 @@ def exclusive_times(events: Iterable[Event]) -> dict[str, int]:
     return dict(excl)
 
 
-def load_events(logdir: str) -> List[Event]:
-    """Read every device plane's "XLA Ops" line from a profiler logdir."""
+def load_events(logdir: str) -> dict[str, List[Event]]:
+    """Read every device plane's "XLA Ops" line from a profiler logdir.
+
+    Returns one event list PER device plane (keyed by plane name): each
+    core has its own timeline, and the innermost-active attribution of
+    `exclusive_times` is only meaningful within one core — merging planes
+    would let an op on core 1 steal exclusive time from a concurrently
+    running op on core 0."""
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-    events: List[Event] = []
+    per_plane: dict[str, List[Event]] = collections.defaultdict(list)
     paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                       recursive=True)
     if not paths:
@@ -81,6 +87,7 @@ def load_events(logdir: str) -> List[Event]:
             if "TPU" not in plane.name and "Device" not in plane.name:
                 continue
             emeta = {m.id: m.name for m in plane.event_metadata.values()}
+            events = per_plane[f"{p}:{plane.name}"]
             for line in plane.lines:
                 if "XLA Ops" not in line.name:
                     continue
@@ -89,17 +96,23 @@ def load_events(logdir: str) -> List[Event]:
                     start = base + ev.offset_ps
                     events.append((start, start + ev.duration_ps,
                                    emeta.get(ev.metadata_id, "?")))
-    events.sort()
-    return events
+    for events in per_plane.values():
+        events.sort()
+    return {k: v for k, v in per_plane.items() if v}
 
 
 def report(logdir: str, iters: int = 1, topn: int = 30) -> str:
-    events = load_events(logdir)
-    if not events:
+    planes = load_events(logdir)
+    if not planes:
         return (f"no device-plane XLA Ops events under {logdir} "
                 "(CPU-backend traces carry none; run on TPU)")
-    excl = exclusive_times(events)
-    span = events[-1][1] - events[0][0]
+    # attribute within each core's own timeline, then sum across cores
+    excl: dict[str, int] = collections.defaultdict(int)
+    for events in planes.values():
+        for n, ps in exclusive_times(events).items():
+            excl[n] += ps
+    span = max(e[-1][1] for e in planes.values()) - min(
+        e[0][0] for e in planes.values())
     busy = sum(excl.values())
     lines = [
         f"span {span / 1e9:.2f} ms, busy {busy / 1e9:.2f} ms, "

@@ -8,7 +8,7 @@
 Per dataset: verifies the data layout (scripts/prepare_data.py check),
 trains the matching preset (resuming from any existing checkpoint), then
 runs the reference's evaluation protocol with the published target gate
-(`evaluate --target`, tests/golden/accuracy_targets.json). Exit 0 = parity.
+(`evaluate --target`, gridgcn_tpu/train/accuracy_targets.json). Exit 0 = parity.
 """
 
 from __future__ import annotations

@@ -68,10 +68,15 @@ def scannet_from_pickle(root: str, pickle_path: str, split: str) -> int:
                 and np.ndim(e[0]) == 2 and np.ndim(e[1]) == 1)
 
     if isinstance(obj, dict):
-        pts_key = next(k for k in ("data", "points", "scene_points")
-                       if k in obj)
-        lab_key = next(k for k in ("label", "labels", "semantic_labels")
-                       if k in obj)
+        pts_key = next((k for k in ("data", "points", "scene_points")
+                        if k in obj), None)
+        lab_key = next((k for k in ("label", "labels", "semantic_labels")
+                        if k in obj), None)
+        if pts_key is None or lab_key is None:
+            raise ValueError(
+                f"unrecognized pickle dict keys {sorted(obj)}; expected "
+                "points under data/points/scene_points and labels under "
+                "label/labels/semantic_labels")
         scenes, labels = obj[pts_key], obj[lab_key]
     elif isinstance(obj, (list, tuple)) and len(obj) \
             and all(_is_scene_pair(e) for e in obj):
@@ -120,6 +125,11 @@ def s3dis_from_hdf5(root: str, holdout: str = "Area_5") -> int:
                 np.asarray(rooms))
         print(f"s3dis {split}: {len(pts)} blocks, "
               f"{len(set(rooms))} rooms")
+    # record which area these npy files hold out, so data/s3dis.py can
+    # refuse a mismatched 6-fold request instead of silently serving the
+    # wrong split
+    with open(os.path.join(base, "s3dis_holdout.txt"), "w") as f:
+        f.write(holdout + "\n")
     return 0
 
 

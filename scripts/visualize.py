@@ -101,7 +101,6 @@ def main(argv=None):
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    if os.environ.get("JAX_PLATFORMS"):
-        import jax
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from gridgcn_tpu.utils.platform import force_platform_from_env
+    force_platform_from_env()
     sys.exit(main())

@@ -126,3 +126,45 @@ def test_make_dataset_picks_real_files_over_fallback(tmp_path):
                      root=str(tmp_path))
     ds = make_dataset(cfg, "train", 40, "cls")
     assert ds.size == 6
+
+
+def test_s3dis_npy_holdout_mismatch_raises(tmp_path):
+    """The pre-split npy layout bakes one holdout; requesting a different
+    fold must raise instead of silently serving the baked split (a 6-fold
+    CV result would otherwise be mislabeled)."""
+    base = tmp_path / "s3dis"
+    base.mkdir()
+    rng = np.random.default_rng(1)
+    np.save(base / "s3dis_train_points.npy",
+            rng.uniform(0, 1, (2, 64, 9)).astype(np.float32))
+    np.save(base / "s3dis_train_labels.npy",
+            rng.integers(0, 13, (2, 64)).astype(np.int32))
+    # no marker file → files are assumed Area-5; other folds refuse
+    with pytest.raises(ValueError, match="Area_3"):
+        load_s3dis(str(tmp_path), "train", 64, holdout="Area_3")
+    # a recorded marker makes the matching fold legal again
+    (base / "s3dis_holdout.txt").write_text("Area_3\n")
+    xyz, _, _ = load_s3dis(str(tmp_path), "train", 64, holdout="Area_3")
+    assert xyz.shape == (2, 64, 3)
+    with pytest.raises(ValueError, match="Area_3"):
+        load_s3dis(str(tmp_path), "train", 64)   # default Area_5 ≠ baked
+
+
+def test_eval_batches_mark_padded_examples():
+    """drop_last=False pads the final partial batch with duplicate clouds;
+    example_mask must expose exactly which rows are real so eval confusion
+    matrices don't double-count the duplicates."""
+    from gridgcn_tpu.data.pipeline import Dataset
+
+    rng = np.random.default_rng(0)
+    ds = Dataset(rng.uniform(0, 1, (10, 16, 3)).astype(np.float32),
+                 rng.integers(0, 4, 10).astype(np.int32),
+                 task="cls", num_classes=4)
+    batches = list(ds.batches(4, shuffle=False, drop_last=False))
+    assert len(batches) == 3
+    assert all(b["example_mask"].shape == (4,) for b in batches)
+    assert batches[0]["example_mask"].all()
+    assert batches[1]["example_mask"].all()
+    np.testing.assert_array_equal(batches[2]["example_mask"],
+                                  [True, True, False, False])
+    assert int(sum(b["example_mask"].sum() for b in batches)) == 10

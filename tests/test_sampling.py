@@ -109,3 +109,22 @@ def test_sampling_determinism(rng_key):
     c1, _ = sample_centers_cas(table, 32, rng_key)
     c2, _ = sample_centers_cas(table, 32, rng_key)
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_rvs_approx_small_m_falls_back_to_exact():
+    """Threshold sampling's M − 3√M margin hits zero at M ≤ 9, which would
+    select NO centers whenever n_occ > M; small M must redirect to the
+    exact Gumbel path and still return M valid centers."""
+    from gridgcn_tpu.ops.sampling import sample_centers_cas, sample_centers_rvs
+    from gridgcn_tpu.ops.voxelize import build_voxel_table
+
+    key = jax.random.PRNGKey(0)
+    xyz = jax.random.uniform(key, (1, 512, 3))
+    mask = jnp.ones((1, 512), bool)
+    table = build_voxel_table(xyz, mask, 8, 4, key)   # n_occ ≫ 8
+    for M in (4, 8):
+        vids, valid = sample_centers_rvs(table, M, key, approx=True)
+        assert int(valid.sum()) == M, f"RVS approx M={M} lost centers"
+        vids, valid = sample_centers_cas(table, M, key, cas_iters=1,
+                                         approx=True)
+        assert int(valid.sum()) == M, f"CAS approx M={M} lost centers"

@@ -471,3 +471,21 @@ def test_spatial_training_tier3(tmp_path):
     assert ep and np.isfinite(ep[-1]["loss"])
     leaves = jax.tree_util.tree_leaves(state.batch_stats)
     assert any(float(jnp.abs(x).sum()) > 0 for x in leaves)
+
+
+def test_suggest_capacity_bounds_partition():
+    """Auto-sized capacity admits every slab's own+halo occupancy (the two
+    share one _slab_edges rule) while staying well under the whole-scene
+    size for spread-out scenes."""
+    from gridgcn_tpu.parallel.spatial import partition_scene, suggest_capacity
+
+    rng = np.random.default_rng(3)
+    N, D, halo = 40_000, 8, 0.05
+    xyz = rng.uniform(0, 8, (N, 3)).astype(np.float32)
+    mask = np.ones(N, bool)
+    cap = suggest_capacity(xyz, mask, D, halo, round_to=256)
+    # partition must fit (raises on overflow) …
+    sx, sm, owned, sidx, _ = partition_scene(xyz, mask, D, halo, cap)
+    assert int(owned.sum()) == N
+    # … and the auto size must actually be resident-sized, not scene-sized
+    assert cap < N // 2

@@ -162,11 +162,12 @@ def test_generalization_synthetic():
                                     for k, v in batch.items()}, rng)
     oa = float(summarize_confusion(cm)["overall_acc"])
     # regression gate against the RECORDED round-over-round target
-    # (tests/golden/accuracy_targets.json; measured 1.0 in round 2) —
+    # (gridgcn_tpu/train/accuracy_targets.json; measured 1.0 in round 2) —
     # a drop below it means an accuracy regression, not noise
     import json, os
+    import gridgcn_tpu.train as _tr
     targets = json.load(open(os.path.join(
-        os.path.dirname(__file__), "golden", "accuracy_targets.json")))
+        os.path.dirname(_tr.__file__), "accuracy_targets.json")))
     t = targets["synthetic_tiny_heldout"]["target"]
     assert oa >= t, f"held-out overall accuracy {oa:.3f} < recorded {t}"
 
@@ -198,3 +199,42 @@ def test_surface_scene_segmentation_learns():
         cm = cm + ev(state, {k: jnp.asarray(v) for k, v in b.items()}, rng)
     oa = float(summarize_confusion(cm)["overall_acc"])
     assert oa >= 0.5, f"surface-scene held-out OA {oa:.3f} < 0.5"
+
+
+def test_eval_confusion_excludes_padded_examples(tiny_setup):
+    """A final partial batch is padded with duplicate clouds; the eval
+    step's confusion matrix must count each real cloud exactly once
+    (cls: example_mask weights; seg: example_mask ANDed into the point
+    mask — _confusion_mask)."""
+    from gridgcn_tpu.train.steps import _confusion_mask
+
+    cfg, model, ds, state = tiny_setup
+    step = make_eval_step(cfg, model)
+    rng = jax.random.PRNGKey(0)
+    B = 7   # does not divide ds.size → padded final batch
+    assert ds.size % B != 0
+    cm = jnp.zeros((cfg.model.num_classes,) * 2, jnp.int32)
+    for batch in ds.batches(B, seed=0, shuffle=False, drop_last=False):
+        cm = cm + step(state, {k: jnp.asarray(v) for k, v in batch.items()},
+                       rng)
+    assert int(cm.sum()) == ds.size
+
+    # seg shape of the same rule: padded example's POINTS drop out
+    seg_cfg = presets.get("synthetic_tiny_seg")
+    batch = {"mask": np.ones((4, 8), bool),
+             "example_mask": np.array([True, True, True, False])}
+    m = _confusion_mask(seg_cfg, batch)
+    assert m.shape == (4, 8) and m[:3].all() and not m[3].any()
+
+
+def test_checkpoint_dir_rejects_config_change(tmp_path):
+    """A checkpoint dir is bound to one config: reusing it with different
+    hyperparameters must fail fast, not resume old weights under a new
+    config (or die later in from_state_dict)."""
+    cfg = presets.get("synthetic_tiny")
+    CheckpointManager(str(tmp_path), cfg, keep=1)
+    # same config again: fine (restore/evaluate flows)
+    CheckpointManager(str(tmp_path), cfg, keep=1)
+    changed = apply_overrides(cfg, {"train.lr": cfg.train.lr * 2})
+    with pytest.raises(ValueError, match="different config"):
+        CheckpointManager(str(tmp_path), changed, keep=1)

@@ -100,3 +100,23 @@ def test_interpolation_constant_field(rng_key):
     out = np.asarray(three_nn_interpolate(feat, idx, w))
     found = np.asarray(found)
     np.testing.assert_allclose(out[found], 2.5, rtol=1e-5)
+
+
+def test_interpolation_combined_gather_is_bit_exact(rng_key):
+    """The one-gather [Nq, k]-index-space form of three_nn_interpolate
+    (ops.upsample._INTERP_COMBINED — the §11 layout experiment) is
+    bit-identical to the default k fused row-gathers."""
+    from gridgcn_tpu.ops import upsample
+
+    B, Nq, Ns, C = 2, 200, 80, 19
+    feat = jax.random.normal(rng_key, (B, Ns, C))
+    idx = jax.random.randint(jax.random.PRNGKey(3), (B, Nq, 3), 0, Ns)
+    w = jax.random.uniform(jax.random.PRNGKey(4), (B, Nq, 3))
+    split = np.asarray(three_nn_interpolate(feat, idx, w))
+    prev = upsample._INTERP_COMBINED
+    try:
+        upsample._INTERP_COMBINED = True
+        combined = np.asarray(three_nn_interpolate(feat, idx, w))
+    finally:
+        upsample._INTERP_COMBINED = prev
+    np.testing.assert_array_equal(split, combined)

@@ -139,3 +139,22 @@ def test_coverage_codec_gca_impact_at_scene_density():
     err = float(jnp.max(jnp.abs(out_exact - out_dec)))
     scale = float(jnp.max(jnp.abs(out_exact)))
     assert err <= 0.02 * max(scale, 1.0), (err, scale)
+
+
+def test_selection_key_packing_rejects_oversize_clouds():
+    """The [valid|rand|coverage|index] key layout runs out of bits above
+    2^22 points; the build must refuse at trace time rather than let
+    dropped points alias valid keys (shape-only trace via eval_shape)."""
+    import pytest
+
+    from gridgcn_tpu.ops.voxelize import build_voxel_table
+
+    N = 1 << 23
+    xyz = jax.ShapeDtypeStruct((1, N, 3), jnp.float32)
+    mask = jax.ShapeDtypeStruct((1, N), jnp.bool_)
+    with pytest.raises(ValueError, match="selection-key"):
+        jax.eval_shape(
+            lambda x, m: build_voxel_table(x, m, 16, 8,
+                                           jax.random.PRNGKey(0),
+                                           with_keys=True),
+            xyz, mask)
