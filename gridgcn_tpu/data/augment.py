@@ -16,11 +16,18 @@ from gridgcn_tpu.configs.base import DataConfig
 
 
 def augment_batch(xyz: jax.Array, mask: jax.Array, key: jax.Array,
-                  cfg: DataConfig):
+                  cfg: DataConfig, feat: jax.Array | None = None):
     """Random rotation (up axis) + anisotropic-free scale + shift + jitter +
-    point dropout. xyz [B, N, 3], mask [B, N] → (xyz, mask)."""
+    point dropout. xyz [B, N, 3], mask [B, N], feat [B, N, C] or None →
+    (xyz, mask, feat).
+
+    Geometric feature columns (cfg.feat_geo_channels — e.g. s3dis
+    normalized room xyz) rotate WITH the cloud, exactly like the voting
+    eval protocol (train/steps.make_voting_eval_step): rotating positions
+    while leaving xyz-derived features stale feeds the model geometrically
+    inconsistent pairs on every rotated batch."""
     if not cfg.augment:
-        return xyz, mask
+        return xyz, mask, feat
     B, N = xyz.shape[:2]
     k_rot, k_scale, k_shift, k_jit, k_drop, k_dropn = jax.random.split(key, 6)
 
@@ -36,6 +43,13 @@ def augment_batch(xyz: jax.Array, mask: jax.Array, key: jax.Array,
             jnp.stack([-s, zeros, c], -1),
         ], -2)                                               # [B, 3, 3]
         xyz = jnp.einsum("bnj,bjk->bnk", xyz, rot)
+        geo = tuple(cfg.feat_geo_channels)
+        if feat is not None and geo:
+            assert len(geo) == 3, "feat_geo_channels must name 3 columns"
+            gidx = jnp.asarray(geo)
+            rotated = jnp.einsum(
+                "bnj,bjk->bnk", feat[..., gidx].astype(xyz.dtype), rot)
+            feat = feat.at[..., gidx].set(rotated.astype(feat.dtype))
 
     if cfg.scale_high > cfg.scale_low:
         scale = jax.random.uniform(k_scale, (B, 1, 1), minval=cfg.scale_low,
@@ -61,4 +75,4 @@ def augment_batch(xyz: jax.Array, mask: jax.Array, key: jax.Array,
         u = jax.random.uniform(k_dropn, (B, N))
         mask = mask & (u >= ratio)
 
-    return xyz, mask
+    return xyz, mask, feat

@@ -122,8 +122,9 @@ def build_train_step(cfg: Config, model: nn.Module, sched=None,
     def step(state: TrainState, batch: dict, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
         k_aug, k_cagq, k_drop = jax.random.split(rng, 3)
-        xyz, mask = augment_batch(batch["xyz"], batch["mask"], k_aug, cfg.data)
-        feat = batch.get("feat", None)
+        xyz, mask, feat = augment_batch(
+            batch["xyz"], batch["mask"], k_aug, cfg.data,
+            feat=batch.get("feat", None))
 
         def loss_fn(params):
             logits, updates = model.apply(
