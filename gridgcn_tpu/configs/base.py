@@ -117,6 +117,10 @@ class ModelConfig:
     dtype: str = "float32"               # compute dtype for the dense GCA math
     use_xyz_feature: bool = True         # feed raw xyz as an input feature
     remat: bool = False                  # jax.checkpoint each GridConv stage
+    # seg only: label value excluded from the loss, class weights, and every
+    # metric (the reference ScanNet protocol scores annotated points only —
+    # label 0 = unannotated; None disables)
+    ignore_label: Any = None
 
 
 @dataclass(frozen=True)

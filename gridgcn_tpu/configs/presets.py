@@ -141,7 +141,7 @@ def scannet_seg() -> Config:
         name="scannet_seg",
         model=ModelConfig(task="seg", num_classes=21, in_channels=0,
                           layers=layers, up_layers=up_layers, head=(128,),
-                          dropout=0.5),
+                          dropout=0.5, ignore_label=0),
         data=DataConfig(dataset="scannet", num_points=8192, batch_size=8),
         train=TrainConfig(epochs=200, lr=1e-3),
     )
@@ -181,7 +181,7 @@ def scannet_whole_scene() -> Config:
         name="scannet_whole_scene",
         model=ModelConfig(task="seg", num_classes=21, in_channels=0,
                           layers=layers, up_layers=up_layers, head=(128,),
-                          dropout=0.0, dtype="bfloat16"),
+                          dropout=0.0, dtype="bfloat16", ignore_label=0),
         data=DataConfig(dataset="scannet", num_points=81920, batch_size=1,
                         augment=False),
         train=TrainConfig(),

@@ -65,12 +65,15 @@ def make_spatial_train_step(cfg: Config, mesh: Mesh, sched=None,
             onehot = jax.nn.one_hot(batch["label"], num_classes,
                                     dtype=logits.dtype)
             ce = optax.softmax_cross_entropy(logits, onehot)
-            w = batch["owned"].astype(ce.dtype)
+            owned = batch["owned"]
+            if cfg.model.ignore_label is not None:
+                owned = owned & (batch["label"] != cfg.model.ignore_label)
+            w = owned.astype(ce.dtype)
             if class_weights is not None:
                 w = w * jnp.sum(onehot * class_weights.astype(ce.dtype), -1)
             loss = jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1e-6)
-            n = jnp.maximum(jnp.sum(batch["owned"]), 1)
-            acc = jnp.sum(jnp.where(batch["owned"],
+            n = jnp.maximum(jnp.sum(owned), 1)
+            acc = jnp.sum(jnp.where(owned,
                                     jnp.argmax(logits, -1) == batch["label"],
                                     False)) / n
             return loss, (acc, stats)

@@ -136,6 +136,10 @@ def evaluate_whole_scenes(ckpt_dir: str, votes: int = 3, mesh_devices: int = 0,
         xyz = val_ds.points[s]
         labels = val_ds.labels[s]
         mask = np.ones(xyz.shape[0], bool)
+        # metric mask only — the forward still sees every point; the
+        # reference ScanNet protocol scores annotated points/voxels only
+        metric_mask = (mask & (labels != cfg.model.ignore_label)
+                       if cfg.model.ignore_label is not None else mask)
         if fwd_resident is not None:
             # votes ride inside predict_resident (fold_in per vote), so
             # partitioning and parameter staging happen once per scene
@@ -162,11 +166,11 @@ def evaluate_whole_scenes(ckpt_dir: str, votes: int = 3, mesh_devices: int = 0,
                               else acc_logits + logits)
         cm = cm + confusion_matrix(
             jnp.asarray(acc_logits)[None], jnp.asarray(labels)[None],
-            cfg.model.num_classes, jnp.asarray(mask)[None])
+            cfg.model.num_classes, jnp.asarray(metric_mask)[None])
         # reference ScanNet metric: per-VOXEL accuracy (predictions
         # projected onto a voxel grid, one vote per occupied voxel)
         vox_cm = vox_cm + voxel_confusion(
-            xyz, acc_logits, labels, mask, voxel_size,
+            xyz, acc_logits, labels, metric_mask, voxel_size,
             cfg.model.num_classes)
     s_ = summarize_confusion(cm)
     sv = summarize_confusion(jnp.asarray(vox_cm, jnp.float32))

@@ -92,6 +92,10 @@ def _loss_and_logits(cfg: Config, logits: jax.Array, batch: dict,
     ce = optax.softmax_cross_entropy(
         logits, optax.smooth_labels(onehot, ls) if ls > 0 else onehot)
     mask = batch["mask"]
+    if cfg.model.ignore_label is not None:
+        # reference ScanNet protocol: unannotated points (label 0) carry no
+        # loss and no accuracy weight
+        mask = mask & (labels != cfg.model.ignore_label)
     w = mask.astype(ce.dtype)
     if class_weights is not None:
         # same trick: class_weights[labels] is a gather; ride the (hard,
@@ -104,14 +108,23 @@ def _loss_and_logits(cfg: Config, logits: jax.Array, batch: dict,
     return loss, acc
 
 
-def class_weights_from_dataset(labels, num_classes: int) -> jax.Array:
-    """Inverse-sqrt-frequency class weights (seg), via the native histogram."""
+def class_weights_from_dataset(labels, num_classes: int,
+                               ignore_label: int | None = None) -> jax.Array:
+    """Inverse-sqrt-frequency class weights (seg), via the native histogram.
+    The ignore class (reference ScanNet: label 0 = unannotated) gets weight
+    0 and is excluded from the frequency normalization."""
     from gridgcn_tpu.data import native
     hist = native.label_histogram(np.asarray(labels), num_classes
                                   ).astype(np.float64)
+    if ignore_label is not None:
+        hist[ignore_label] = 0.0
     freq = hist / max(hist.sum(), 1.0)
     w = 1.0 / np.sqrt(freq + 1e-4)
-    w = w / w.mean()
+    if ignore_label is not None:
+        w[ignore_label] = 0.0
+        w = w / w[w > 0].mean() if (w > 0).any() else w
+    else:
+        w = w / w.mean()
     return jnp.asarray(w, jnp.float32)
 
 
@@ -164,6 +177,8 @@ def _confusion_mask(cfg: Config, batch: dict):
     em = batch.get("example_mask")
     if cfg.model.task == "seg":
         mask = batch["mask"]
+        if cfg.model.ignore_label is not None:
+            mask = mask & (batch["label"] != cfg.model.ignore_label)
         return mask & em[:, None] if em is not None else mask
     return em
 

@@ -51,7 +51,8 @@ def train(cfg: Config, mesh_devices: int = 0, log_path: str | None = None,
     if cfg.train.class_weighting and cfg.model.task == "seg":
         from gridgcn_tpu.train.steps import class_weights_from_dataset
         class_weights = class_weights_from_dataset(
-            train_ds.labels, cfg.model.num_classes)
+            train_ds.labels, cfg.model.num_classes,
+            ignore_label=cfg.model.ignore_label)
 
     mesh = make_mesh(mesh_devices) if mesh_devices else None
     if mesh is not None:
@@ -157,7 +158,8 @@ def train_spatial(cfg: Config, mesh_devices: int,
     if cfg.train.class_weighting:
         from gridgcn_tpu.train.steps import class_weights_from_dataset
         class_weights = class_weights_from_dataset(
-            train_ds.labels, cfg.model.num_classes)
+            train_ds.labels, cfg.model.num_classes,
+            ignore_label=cfg.model.ignore_label)
 
     step = make_spatial_train_step(cfg, mesh, sched, tier=tier,
                                    class_weights=class_weights)

@@ -238,3 +238,39 @@ def test_checkpoint_dir_rejects_config_change(tmp_path):
     changed = apply_overrides(cfg, {"train.lr": cfg.train.lr * 2})
     with pytest.raises(ValueError, match="different config"):
         CheckpointManager(str(tmp_path), changed, keep=1)
+
+
+def test_ignore_label_excluded_from_loss_and_metrics():
+    """Reference ScanNet protocol: ignore-labeled (unannotated) points carry
+    no loss, no accuracy weight, no confusion-matrix weight, and weight-0 in
+    the inverse-frequency class weights."""
+    import dataclasses
+
+    from gridgcn_tpu.train.steps import (
+        _confusion_mask, _loss_and_logits, class_weights_from_dataset)
+
+    cfg = presets.get("synthetic_scene_seg")
+    cfg_ig = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, ignore_label=0))
+    C = cfg.model.num_classes
+    rng = np.random.default_rng(0)
+    B, N = 2, 64
+    logits = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, C, size=(B, N)), jnp.int32)
+    mask = jnp.ones((B, N), bool)
+    batch = {"label": labels, "mask": mask}
+
+    loss_ig, acc_ig = _loss_and_logits(cfg_ig, logits, batch)
+    # oracle: loss/acc computed over the non-ignored points only
+    keep = mask & (labels != 0)
+    batch_keep = {"label": labels, "mask": keep}
+    loss_ref, acc_ref = _loss_and_logits(cfg, logits, batch_keep)
+    np.testing.assert_allclose(float(loss_ig), float(loss_ref), rtol=1e-6)
+    np.testing.assert_allclose(float(acc_ig), float(acc_ref), rtol=1e-6)
+
+    cmask = _confusion_mask(cfg_ig, batch)
+    np.testing.assert_array_equal(np.asarray(cmask), np.asarray(keep))
+
+    w = np.asarray(class_weights_from_dataset(
+        np.asarray(labels), C, ignore_label=0))
+    assert w[0] == 0.0 and (w[1:] > 0).all()
