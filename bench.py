@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import tempfile
 import time
 
 import jax
@@ -23,6 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_POINTS_PER_SEC = 81920 / 0.020   # ≈ 4.096 M pts/s, BASELINE.md
+# MFU denominator: TPU v5e peak is 197 TFLOP/s (bf16 matmul). The model is
+# mixed bf16/f32 and gather/DMA-dominated by design (docs/design.md §10-§11),
+# so MFU is reported for normalization, not as the optimization target.
+V5E_PEAK_FLOPS = 197e12
 
 
 def _time_fn(fn, *args, warmup: int = 2, iters: int = 10) -> float:
@@ -72,11 +77,32 @@ def _capacity_report(cfg, xyz, mask):
     }
 
 
+def _busy_ms_per_iter(logdir: str, iters: int) -> float | None:
+    """Device-busy ms/iter from a captured trace (utils/traceview exclusive
+    attribution). None if the xplane proto is unavailable or the trace has
+    no device plane — the bench stays usable on CPU backends."""
+    try:
+        from gridgcn_tpu.utils.traceview import exclusive_times, load_events
+
+        busy_ps = 0
+        for events in load_events(logdir).values():
+            busy_ps += sum(exclusive_times(events).values())
+        return busy_ps / iters / 1e9 if busy_ps else None
+    except Exception:
+        return None
+
+
 def bench_seg_whole_scene(batch_size: int, iters: int, knn: str = "auto",
-                          scenes=("uniform",), trace_dir: str | None = None):
+                          scenes=("uniform",), trace_dir: str | None = None,
+                          want_trace: bool = True):
     """Whole-scene segmentation inference throughput (BASELINE config 5).
     All requested scene geometries share ONE jitted forward (identical
-    shapes), so the model compiles once."""
+    shapes), so the model compiles once.
+
+    The headline (last) scene also gets a 10-iter device trace and a
+    compiled cost analysis so the artifact carries busy-time, FLOPs and
+    MFU alongside wall latency (VERDICT r2 item 2) — wall time through the
+    tunnel backend over-reads chip residency by ~1 ms/iter at iters=40."""
     import dataclasses
 
     from gridgcn_tpu.configs import presets
@@ -106,17 +132,7 @@ def bench_seg_whole_scene(batch_size: int, iters: int, knn: str = "auto",
     for i, scene in enumerate(scenes):
         xyz = _scene_points(scene, batch_size, N, rng)
         dt = _time_fn(forward, variables, xyz, mask, rng, iters=iters)
-        if trace_dir and i == len(scenes) - 1:
-            # capture the headline scene's steady state for exclusive-time
-            # attribution (utils/traceview; drove every BASELINE.md win)
-            from gridgcn_tpu.utils.profiling import trace
-
-            with trace(trace_dir):
-                o = None
-                for _ in range(10):
-                    o = forward(variables, xyz, mask, rng)
-                float(o)
-        out[scene] = {
+        entry = {
             "scene_points": N,
             "batch_size": batch_size,
             "scene": scene,
@@ -124,6 +140,31 @@ def bench_seg_whole_scene(batch_size: int, iters: int, knn: str = "auto",
             "points_per_sec": batch_size * N / dt,
             "capacity": _capacity_report(cfg, xyz, mask),
         }
+        if want_trace and i == len(scenes) - 1:
+            # capture the headline scene's steady state for exclusive-time
+            # attribution (utils/traceview; drove every BASELINE.md win)
+            from gridgcn_tpu.utils.profiling import trace
+
+            tdir = trace_dir or tempfile.mkdtemp(prefix="gridgcn_bench_tr_")
+            trace_iters = 10
+            with trace(tdir):
+                o = None
+                for _ in range(trace_iters):
+                    o = forward(variables, xyz, mask, rng)
+                float(o)
+            busy = _busy_ms_per_iter(tdir, trace_iters)
+            try:
+                ca = forward.lower(variables, xyz, mask, rng).compile(
+                    ).cost_analysis()
+                flops = float(ca.get("flops", 0.0)) or None
+            except Exception:
+                flops = None
+            entry["busy_ms"] = busy
+            entry["flops"] = flops
+            if flops and busy:
+                entry["achieved_tflops"] = flops / (busy / 1e3) / 1e12
+                entry["mfu"] = flops / (busy / 1e3) / V5E_PEAK_FLOPS
+        out[scene] = entry
     return out
 
 
@@ -211,7 +252,10 @@ def bench_cagq_vs_fps(iters: int):
         0.1, K)[0].sum())
 
     t_cagq = _time_fn(cagq_fn, xyz, mask, rng, iters=iters)
-    t_fps = _time_fn(fps_fn, xyz, mask, rng, iters=max(2, iters // 3))
+    # FPS side runs seconds/iter; a few iterations suffice (launch overhead
+    # is negligible at that scale) and keep the default bench under a minute
+    t_fps = _time_fn(fps_fn, xyz, mask, rng, warmup=1,
+                     iters=max(2, min(3, iters // 3)))
     return {"n_points": N, "m_centers": M, "k": K,
             "cagq_ms": t_cagq * 1000, "fps_ball_ms": t_fps * 1000,
             "speedup": t_fps / t_cagq}
@@ -228,26 +272,28 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=40)
     p.add_argument("--knn", default="auto",
                    choices=["auto", "dense", "pallas", "grid"])
+    # everything a regression bot needs rides the DEFAULT invocation
+    # (VERDICT r2 item 2): headline + busy/FLOPs/MFU + modelnet40 +
+    # train_step + cagq_vs_fps. --quick drops the extras for fast iteration.
+    p.add_argument("--quick", action="store_true",
+                   help="headline scenes only: skip modelnet40, train step, "
+                        "CAGQ-vs-FPS, and the trace/MFU capture")
     p.add_argument("--skip-modelnet", action="store_true")
-    p.add_argument("--compare-fps", action="store_true",
-                   help="also time CAGQ vs FPS+ball-query data structuring")
-    p.add_argument("--train", action="store_true",
-                   help="also time the full training step (scannet_seg)")
     p.add_argument("--scene", default="both",
                    choices=["uniform", "surface", "both"],
                    help="bench input geometry; headline uses 'surface' "
                         "(realistic skewed density) when 'both'")
     p.add_argument("--trace", default=None, metavar="DIR",
-                   help="capture a 10-iter device trace of the headline "
-                        "forward into DIR and print the exclusive-time "
-                        "attribution (stderr)")
+                   help="keep the headline device trace in DIR and print "
+                        "the exclusive-time attribution (stderr)")
     args = p.parse_args(argv)
 
     scenes = (["uniform", "surface"] if args.scene == "both"
               else [args.scene])
     runs = bench_seg_whole_scene(args.batch_size, args.iters,
                                  knn=args.knn, scenes=scenes,
-                                 trace_dir=args.trace)
+                                 trace_dir=args.trace,
+                                 want_trace=not args.quick or bool(args.trace))
     if args.trace:
         from gridgcn_tpu.utils.traceview import report
         try:
@@ -263,11 +309,10 @@ def main(argv=None):
                  if "uniform" in runs and seg is not runs["uniform"] else {}),
               "device": str(jax.devices()[0]),
               "baseline_points_per_sec": BASELINE_POINTS_PER_SEC}
-    if not args.skip_modelnet:
+    if not (args.skip_modelnet or args.quick):
         detail["modelnet40"] = bench_modelnet40_latency(args.iters)
-    if args.compare_fps:
+    if not args.quick:
         detail["cagq_vs_fps"] = bench_cagq_vs_fps(args.iters)
-    if args.train:
         detail["train_step"] = bench_train_step(args.iters)
     print(json.dumps(detail), file=sys.stderr)
 
@@ -279,6 +324,13 @@ def main(argv=None):
         "unit": "points/sec",
         "vs_baseline": round(seg["points_per_sec"] / BASELINE_POINTS_PER_SEC,
                              4),
+        **({"busy_ms": round(seg["busy_ms"], 3)}
+           if seg.get("busy_ms") else {}),
+        **({"mfu": round(seg["mfu"], 5)} if seg.get("mfu") else {}),
+        **({"train_step_ms": round(detail["train_step"]["step_ms"], 2)}
+           if "train_step" in detail else {}),
+        **({"cagq_vs_fps_speedup": round(detail["cagq_vs_fps"]["speedup"], 1)}
+           if "cagq_vs_fps" in detail else {}),
     }
     print(json.dumps(result))
 
