@@ -211,7 +211,7 @@ def grid_three_nn(query_xyz: jax.Array, query_mask: jax.Array,
 # as ONE gather at the consumer's [Nq, k] index space (experimental A/B knob;
 # see docs/design.md §11 — the 3 separate gathers measure 1.57 ms/scene
 # against a 1.05 ms descriptor-rate floor for the same 3·Nq rows).
-_INTERP_COMBINED = False
+_INTERP_COMBINED = True
 
 
 def three_nn_interpolate(support_feat: jax.Array, nn_idx: jax.Array,
