@@ -120,6 +120,13 @@ def bench_seg_whole_scene(batch_size: int, iters: int, knn: str = "auto",
     N = cfg.data.num_points
     model, variables = init_model(cfg)
 
+    # inference protocol: BN folded into Dense weights (models/fold.py) —
+    # the standalone BN affines cost ~0.3 ms/scene materialized on TPU
+    from gridgcn_tpu.models.build import build_model
+    from gridgcn_tpu.models.fold import fold_inference
+    cfg, variables = fold_inference(cfg, variables)
+    model = build_model(cfg.model)
+
     @jax.jit
     def forward(variables, xyz, mask, key):
         logits = model.apply(variables, xyz, None, mask, train=False,
@@ -176,6 +183,10 @@ def bench_modelnet40_latency(iters: int):
     cfg = presets.get("modelnet40_full")
     B, N = 16, cfg.data.num_points
     model, variables = init_model(cfg)
+    from gridgcn_tpu.models.build import build_model
+    from gridgcn_tpu.models.fold import fold_inference
+    cfg, variables = fold_inference(cfg, variables)
+    model = build_model(cfg.model)
     rng = jax.random.PRNGKey(0)
     xyz = jax.random.uniform(rng, (B, N, 3), minval=-1.0, maxval=1.0)
     mask = jnp.ones((B, N), bool)

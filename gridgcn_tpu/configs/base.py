@@ -121,6 +121,11 @@ class ModelConfig:
     # metric (the reference ScanNet protocol scores annotated points only —
     # label 0 = unannotated; None disables)
     ignore_label: Any = None
+    # inference-only: BatchNorms are folded into the preceding Dense weights
+    # (models.fold.fold_inference) and skipped in the graph — the BN affines
+    # otherwise materialize as separate activation-shaped fusions on TPU
+    # (~0.3 ms/scene at whole-scene scale). Never set for training.
+    fold_bn: bool = False
 
 
 @dataclass(frozen=True)

@@ -39,6 +39,7 @@ class GridGCNClassifier(nn.Module):
         for i, spec in enumerate(cfg.layers):
             xyz, feat, mask = conv_cls(
                 spec, dtype=dtype, bn_momentum=cfg.bn_momentum,
+                fold_bn=cfg.fold_bn,
                 feat_has_xyz_prefix=(i == 0 and cfg.use_xyz_feature),
                 name=f"gridconv{i}")(xyz, feat, mask, train)
 
@@ -48,9 +49,10 @@ class GridGCNClassifier(nn.Module):
 
         for hi, w in enumerate(cfg.head):
             x = nn.Dense(w, dtype=dtype, name=f"head_dense{hi}")(x)
-            x = nn.BatchNorm(use_running_average=not train,
-                             momentum=cfg.bn_momentum, dtype=dtype,
-                             name=f"head_bn{hi}")(x)
+            if not cfg.fold_bn:
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=cfg.bn_momentum, dtype=dtype,
+                                 name=f"head_bn{hi}")(x)
             x = nn.relu(x)
             if cfg.dropout > 0:
                 x = nn.Dropout(cfg.dropout, deterministic=not train)(x)

@@ -31,13 +31,16 @@ class GCA(nn.Module):
     spec: GridLayerSpec
     dtype: jnp.dtype = jnp.float32
     bn_momentum: float = 0.9
+    # inference-only: BN already folded into the Dense weights (models.fold)
+    fold_bn: bool = False
 
     def _mlp(self, x, widths, mask, train: bool, name: str):
         for li, w in enumerate(widths):
             x = nn.Dense(w, dtype=self.dtype, name=f"{name}_dense{li}")(x)
-            x = nn.BatchNorm(use_running_average=not train,
-                             momentum=self.bn_momentum, dtype=self.dtype,
-                             name=f"{name}_bn{li}")(x)
+            if not self.fold_bn:
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=self.bn_momentum, dtype=self.dtype,
+                                 name=f"{name}_bn{li}")(x)
             x = nn.relu(x)
             x = jnp.where(mask[..., None], x, 0.0)
         return x

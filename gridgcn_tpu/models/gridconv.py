@@ -30,6 +30,8 @@ class GridConv(nn.Module):
     spec: GridLayerSpec
     dtype: jnp.dtype = jnp.float32
     bn_momentum: float = 0.9
+    # inference-only: BN already folded into the Dense weights (models.fold)
+    fold_bn: bool = False
     # Set by the parent network on the INPUT layer when use_xyz_feature put
     # raw xyz in feat[..., :3]: those channels are then read from the
     # already-gathered g.node_xyz instead of a second [M·K]-row gather over
@@ -108,7 +110,8 @@ class GridConv(nn.Module):
             ctx_feat = jnp.sum(cand_feat * w, axis=-2) / denom
 
         center_feat = GCA(self.spec, dtype=self.dtype,
-                          bn_momentum=self.bn_momentum, name="gca")(
+                          bn_momentum=self.bn_momentum,
+                          fold_bn=self.fold_bn, name="gca")(
             node_feat, delta_p, g.neighbor_mask, g.node_coverage,
             train=train, ctx_feat=ctx_feat)
         return g.center_xyz, center_feat, g.center_valid

@@ -47,6 +47,7 @@ class GridGCNSegmentation(nn.Module):
             else GridConv
         self._convs = [
             conv_cls(spec, dtype=dtype, bn_momentum=cfg.bn_momentum,
+                     fold_bn=cfg.fold_bn,
                      feat_has_xyz_prefix=(i == 0 and cfg.use_xyz_feature),
                      name=f"gridconv{i}")
             for i, spec in enumerate(cfg.layers)]
@@ -109,7 +110,8 @@ class GridGCNSegmentation(nn.Module):
         x = jnp.concatenate([interp, skip.astype(dtype)], axis=-1)
         for dense, bn in zip(self._up_dense[i], self._up_bn[i]):
             x = dense(x)
-            x = bn(x, use_running_average=not train)
+            if not cfg.fold_bn:
+                x = bn(x, use_running_average=not train)
             x = nn.relu(x)
         return jnp.where(d_mask[..., None], x, 0.0)
 
@@ -117,7 +119,8 @@ class GridGCNSegmentation(nn.Module):
         """Per-point classification head."""
         for dense, bn in zip(self._head_dense, self._head_bn):
             x = dense(x)
-            x = bn(x, use_running_average=not train)
+            if not self.cfg.fold_bn:
+                x = bn(x, use_running_average=not train)
             x = nn.relu(x)
             if self.cfg.dropout > 0:
                 x = self._dropout(x, deterministic=not train)

@@ -160,8 +160,8 @@ def _knn_kernel_mxu(qb_ref, s_ref, out_d_ref, out_i_ref, *,
 
 
 def flash_knn_mxu(q_xyz: jax.Array, q_mask: jax.Array, s_xyz: jax.Array,
-                  s_mask: jax.Array, k: int = 3, qt: int = 1024,
-                  sb: int = 2048, interpret: bool = False):
+                  s_mask: jax.Array, k: int = 3, qt: int = 2048,
+                  sb: int = 8192, interpret: bool = False):
     """Near-exact k-NN, MXU distance + lane-fold top-k (see _knn_kernel_mxu).
 
     q_xyz [Nq, 3], s_xyz [Ns, 3] → (d2 [Nq, k], idx [Nq, k], valid [Nq, k]).
