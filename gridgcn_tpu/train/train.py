@@ -31,6 +31,25 @@ from gridgcn_tpu.utils.checkpoint import CheckpointManager
 from gridgcn_tpu.utils.logging import MetricLogger
 
 
+def _log_capacity(log: MetricLogger, cfg: Config, ds) -> None:
+    """One-time layer-0 capacity audit on the mounted training data (real
+    datasets have different occupancy skew than the synthetic presets were
+    sized on); warns loudly when the configured nv over-drops (VERDICT r2
+    next-round #9)."""
+    from gridgcn_tpu.utils.debug import audit_layer0_capacity
+
+    report = audit_layer0_capacity(cfg, ds.points)
+    log.log("capacity", **report)
+    if report["over_budget"]:
+        import warnings
+        warnings.warn(
+            f"layer-0 voxel table drops {report['dropped_frac']:.1%} of "
+            f"points on this dataset (> {report['budget']:.0%} budget); "
+            f"raise layers[0].nv (={report['nv']}) or resolution "
+            f"(={report['resolution']}) — see design.md §12 for the "
+            f"accuracy/latency trade", RuntimeWarning, stacklevel=2)
+
+
 def train(cfg: Config, mesh_devices: int = 0, log_path: str | None = None,
           tensorboard_dir: str | None = None):
     log = MetricLogger(log_path, tensorboard_dir=tensorboard_dir)
@@ -42,6 +61,7 @@ def train(cfg: Config, mesh_devices: int = 0, log_path: str | None = None,
                           cfg.model.task)
     steps_per_epoch = (cfg.train.steps_per_epoch
                        or train_ds.steps_per_epoch(cfg.data.batch_size))
+    _log_capacity(log, cfg, train_ds)
 
     model, variables = init_model(cfg, seed=cfg.train.seed)
     state = create_train_state(cfg, model, variables, steps_per_epoch)
@@ -142,6 +162,7 @@ def train_spatial(cfg: Config, mesh_devices: int,
 
     train_ds = make_dataset(cfg.data, "train", cfg.model.num_classes,
                             cfg.model.task)
+    _log_capacity(log, cfg, train_ds)
     steps_per_epoch = cfg.train.steps_per_epoch or train_ds.size
     model, variables = init_model(cfg, seed=cfg.train.seed)
     state = create_train_state(cfg, model, variables, steps_per_epoch)

@@ -52,8 +52,34 @@ def test_mesh_dp_training_end_to_end(tmp_path):
     cfg = apply_overrides(cfg, {
         "train.epochs": 1, "train.ckpt_dir": str(tmp_path / "ck"),
         "train.eval_every": 1, "data.batch_size": 8})
-    state = train(cfg, mesh_devices=8)
+    state = train(cfg, mesh_devices=8, log_path=str(tmp_path / "m.jsonl"))
     assert int(state.step) == 8   # 64 clouds / batch 8
+    # step-0 capacity audit landed in the metrics log (VERDICT r2 #9)
+    import json
+    lines = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    cap = [l for l in lines if l.get("kind") == "capacity"]
+    assert len(cap) == 1 and 0.0 <= cap[0]["dropped_frac"] <= 1.0
+    assert cap[0]["nv"] == cfg.model.layers[0].nv
+    assert not cap[0]["over_budget"]
+
+
+def test_capacity_audit_flags_undersized_nv():
+    """audit_layer0_capacity catches a mis-sized (resolution, nv) pairing
+    on a skewed dataset — the step-0 guard real data relies on."""
+    from gridgcn_tpu.configs.base import apply_overrides as _ov
+    from gridgcn_tpu.utils.debug import audit_layer0_capacity
+
+    cfg = presets.get("synthetic_tiny")
+    # all points in one voxel corner: resolution 8 with nv=8 must drop most
+    rng = np.random.default_rng(0)
+    pts = (rng.uniform(0, 0.05, (2, 256, 3)).astype(np.float32))
+    pts[:, 0] = [1.0, 1.0, 1.0]   # pin the extent so the grid spans [0, 1]
+    report = audit_layer0_capacity(cfg, pts)
+    assert report["over_budget"] and report["dropped_frac"] > 0.5
+    # and a healthy uniform cloud passes
+    ok = audit_layer0_capacity(
+        cfg, rng.uniform(0, 1, (2, 256, 3)).astype(np.float32))
+    assert not ok["over_budget"]
 
 
 def test_checkpoint_roundtrip(tmp_path, tiny_setup):
