@@ -42,6 +42,14 @@ class Predictor:
         self.step = int(state.step)
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
+        # serving protocol = bench protocol: BN folded into Dense weights,
+        # params pre-cast to the preset's inference dtype (eval_dtype lets
+        # f32-trained presets serve bf16 — models/fold.py). Applies to the
+        # batch forward, the spatial scene tiers, and the AOT export alike.
+        from gridgcn_tpu.models.build import build_model
+        from gridgcn_tpu.models.fold import fold_inference
+        self.cfg, variables = fold_inference(self.cfg, variables)
+        model = build_model(self.cfg.model)
         self._model = model
 
         self._mesh = None

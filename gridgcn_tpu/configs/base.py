@@ -115,6 +115,12 @@ class ModelConfig:
     dropout: float = 0.5
     bn_momentum: float = 0.9
     dtype: str = "float32"               # compute dtype for the dense GCA math
+    # inference-only compute dtype ("" = same as dtype). Consumed by
+    # models.fold.fold_inference, i.e. every inference surface that folds
+    # (serving Predictor, AOT export, bench): presets that TRAIN in f32 can
+    # still serve in bf16 (fidelity bound: tests/test_models.py
+    # test_bfloat16_* — argmax agreement >= 0.98, logit atol 10% of range).
+    eval_dtype: str = ""
     use_xyz_feature: bool = True         # feed raw xyz as an input feature
     remat: bool = False                  # jax.checkpoint each GridConv stage
     # seg only: label value excluded from the loss, class weights, and every
@@ -154,6 +160,11 @@ class DataConfig:
     # voting / rotation augmentation — else each vote sees inconsistent
     # inputs (rotated positions, stale xyz-derived features)
     feat_geo_channels: Tuple[int, ...] = ()
+    # synthetic datasets only: training-split example count (0 = the
+    # generator's default; eval split scales to 1/4). Lets preset-scale
+    # convergence gates (VERDICT r2 #3) and the capacity sweep train on
+    # more than the hermetic-test default without touching code.
+    synthetic_size: int = 0
 
 
 @dataclass(frozen=True)

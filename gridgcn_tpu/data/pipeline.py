@@ -95,11 +95,21 @@ def make_dataset(cfg: DataConfig, split: str, num_classes: int,
         pts, labels = load_scannet(root, split, cfg.num_points)
         return Dataset(pts, labels, task="seg", num_classes=21)
 
+    if cfg.dataset == "synthetic_shapes40":
+        # 40-class shape-family ModelNet40 stand-in (VERDICT r2 #3):
+        # preset-scale convergence evidence for the classification configs
+        base = cfg.synthetic_size or 1600
+        n = base if split == "train" else max(base // 4, 40)
+        pts, labels = synthetic.synthetic_shapes40(
+            n, cfg.num_points, seed=0 if split == "train" else 1)
+        return Dataset(pts, labels, task="cls", num_classes=40)
+
     if cfg.dataset == "synthetic_scene":
         # surface-like indoor scenes with part labels (floor/ceiling/wall/
         # object) — a semantically meaningful whole-scene seg stand-in
         # whose density statistics match real scans (data/synthetic.py)
-        n = 24 if split == "train" else 8
+        base = cfg.synthetic_size or 24
+        n = base if split == "train" else max(base // 3, 8)
         seed0 = 0 if split == "train" else 1000
         out = [synthetic.synthetic_scene_surface(
             cfg.num_points, seed=seed0 + i, return_labels=True)

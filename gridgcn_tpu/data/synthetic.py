@@ -47,6 +47,75 @@ def synthetic_segmentation(num_clouds: int, num_points: int,
     return pts, labels.astype(np.int32)
 
 
+def synthetic_shapes40(num_clouds: int, num_points: int, seed: int = 0):
+    """40-class ModelNet40 stand-in for preset-scale convergence gates
+    (VERDICT r2 #3): classes are a 5 (base shape) x 4 (aspect ratio) x 2
+    (part attached) grid, so discriminating them requires shape AND
+    proportion AND part-presence cues — none is decidable from a single
+    point statistic. Instances get the ModelNet40 eval protocol's nuisance
+    transforms: random rotation about the gravity axis, per-instance scale
+    jitter, and point noise. Returns pts [num_clouds, num_points, 3] f32
+    (unit-normalized like real ModelNet40) and labels [num_clouds] i32."""
+    rng = np.random.default_rng(seed)
+    pts = np.zeros((num_clouds, num_points, 3), np.float32)
+    labels = (np.arange(num_clouds) % 40).astype(np.int32)
+    aspects = (0.4, 0.7, 1.0, 1.6)
+
+    def base_surface(kind, n):
+        if kind == 0:        # sphere
+            v = rng.normal(size=(n, 3))
+            return v / np.linalg.norm(v, axis=1, keepdims=True)
+        if kind == 1:        # cube
+            p = rng.uniform(-1, 1, size=(n, 3))
+            ax = rng.integers(0, 3, n)
+            p[np.arange(n), ax] = rng.choice([-1.0, 1.0], n)
+            return p
+        if kind == 2:        # cylinder (capped)
+            n_side = int(n * 0.7)
+            theta = rng.uniform(0, 2 * np.pi, n)
+            r = np.ones(n)
+            y = rng.uniform(-1, 1, n)
+            caps = np.arange(n) >= n_side
+            r[caps] = np.sqrt(rng.uniform(0, 1, caps.sum()))
+            y[caps] = rng.choice([-1.0, 1.0], caps.sum())
+            return np.stack([r * np.cos(theta), y, r * np.sin(theta)], 1)
+        if kind == 3:        # cone
+            u = np.sqrt(rng.uniform(0, 1, n))   # area-uniform along slant
+            theta = rng.uniform(0, 2 * np.pi, n)
+            base = np.arange(n) >= int(n * 0.75)
+            r, y = u.copy(), 1.0 - 2.0 * u
+            r[base] = np.sqrt(rng.uniform(0, 1, base.sum()))
+            y[base] = -1.0
+            return np.stack([r * np.cos(theta), y, r * np.sin(theta)], 1)
+        # torus, tube radius 0.35
+        theta = rng.uniform(0, 2 * np.pi, n)
+        phi = rng.uniform(0, 2 * np.pi, n)
+        rr = 1.0 + 0.35 * np.cos(phi)
+        return np.stack([rr * np.cos(theta), 0.35 * np.sin(phi),
+                         rr * np.sin(theta)], 1)
+
+    for i, lab in enumerate(labels):
+        kind, aspect, part = lab % 5, aspects[(lab // 5) % 4], lab >= 20
+        n_part = int(num_points * 0.15) if part else 0
+        p = base_surface(kind, num_points - n_part)
+        p[:, 1] *= aspect
+        if part:             # small cube riding the +y extreme
+            q = rng.uniform(-0.2, 0.2, size=(n_part, 3))
+            ax = rng.integers(0, 3, n_part)
+            q[np.arange(n_part), ax] = rng.choice([-0.2, 0.2], n_part)
+            q[:, 1] += p[:, 1].max() + 0.2
+            p = np.concatenate([p, q])
+        ang = rng.uniform(0, 2 * np.pi)
+        c, s = np.cos(ang), np.sin(ang)
+        p = p @ np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        p *= rng.uniform(0.85, 1.15)
+        p += rng.normal(scale=0.01, size=p.shape)
+        p -= p.mean(0, keepdims=True)
+        p /= np.abs(p).max()
+        pts[i] = p[rng.permutation(num_points)]
+    return pts, labels
+
+
 def synthetic_scene_surface(num_points: int, seed: int = 0,
                             room: tuple = (6.0, 2.6, 5.0),
                             return_labels: bool = False):

@@ -117,10 +117,12 @@ def fold_inference(cfg, variables):
     """
     model_cfg = cfg.model if hasattr(cfg, "model") else cfg
     folded, n = fold_batchnorm(variables)
-    dtype = jnp.dtype(model_cfg.dtype)
+    # eval_dtype lets f32-trained presets serve in bf16 (VERDICT r2 #8)
+    dtype_str = model_cfg.eval_dtype or model_cfg.dtype
+    dtype = jnp.dtype(dtype_str)
     if dtype == jnp.bfloat16:
         folded = {**folded, "params": _cast_dense(folded["params"], dtype)}
-    new_model = dataclasses.replace(model_cfg, fold_bn=True)
+    new_model = dataclasses.replace(model_cfg, fold_bn=True, dtype=dtype_str)
     if hasattr(cfg, "model"):
         return dataclasses.replace(cfg, model=new_model), folded
     return new_model, folded

@@ -1,0 +1,154 @@
+"""F-22/F-24 communication-volume accounting (VERDICT r2 #6).
+
+The multi-chip dryrun proves the sharded programs compile and execute; this
+module answers the question the dryrun can't: *does the design scale?* It
+accounts, from a config + mesh size, every byte each protocol moves over
+ICI per step, and projects transfer time against the measured per-shard
+compute so the expected scaling efficiency is a number, not a hope.
+
+Collective inventory audited (all emitted by shard_map/GSPMD — SURVEY §2.4
+F-24; there is no other comm path in the framework):
+
+  * DP / spatially-sharded training: ONE gradient psum per step over all
+    parameters (+ a few scalar metric psums and BN-stat pmeans, counted).
+  * Tier 2 (`parallel.resident`): ONE all_gather assembling the layer-1
+    level — each chip contributes its M1/D center share of
+    (xyz f32[3] + feat[C1] + valid bool) and receives the other D-1 shares.
+  * Tier 3 (`parallel.resident_ml`): per encoder level i ≥ 1, TWO ppermute
+    ships (left+right neighbors) of H rows of (xyz[3] f32 + feat[C_i] +
+    valid bool) — `exchange_boundary`; per decoder stage on a ghost-carrying
+    level, TWO ppermute ships of H rows of the updated features —
+    `refresh_ghosts`. H defaults to the shard's full center share
+    (n_centers_i / D).
+
+Transfer-time projection model (stated assumptions, not measurements):
+one-directional ICI link bandwidth per the public v5e figures ≈ 45 GB/s;
+the slab ring maps onto one torus axis, so the two ppermute directions ride
+distinct links concurrently and the per-hop time is max(bytes_dir)/BW;
+all_gather/psum use the standard ring cost 2·(D−1)/D · bytes / BW (psum =
+reduce_scatter + all_gather). DCN is out of scope (single-slice audit).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import jax
+import numpy as np
+
+from gridgcn_tpu.configs.base import Config
+
+# public v5e figure; one direction, per link
+ICI_BYTES_PER_S = 4.5e10
+
+
+def _param_bytes(cfg: Config) -> int:
+    """Total parameter bytes (shape-only; no device compute)."""
+    from gridgcn_tpu.models.build import build_model
+
+    model = build_model(cfg.model)
+    B, N = 2, max(cfg.data.num_points, 64)
+
+    def init():
+        return model.init(
+            {"params": jax.random.PRNGKey(0),
+             "cagq": jax.random.PRNGKey(1)},
+            jax.numpy.zeros((B, N, 3)),
+            None, jax.numpy.ones((B, N), bool), False)
+
+    shapes = jax.eval_shape(init)
+    return int(sum(np.prod(l.shape) * l.dtype.itemsize
+                   for l in jax.tree_util.tree_leaves(shapes)))
+
+
+def _feat_dtype_bytes(cfg: Config) -> int:
+    return jax.numpy.dtype(cfg.model.dtype).itemsize
+
+
+def comm_report(cfg: Config, n_devices: int,
+                ghost_cap: int = 0,
+                compute_ms_per_step: Optional[float] = None) -> dict:
+    """Per-step ICI byte/time accounting for every protocol in the
+    framework at `n_devices` shards. `compute_ms_per_step` (e.g. measured
+    single-chip busy time / D) turns volumes into a projected scaling
+    efficiency: compute / (compute + comm)."""
+    D = n_devices
+    dt = _feat_dtype_bytes(cfg)
+    layers = cfg.model.layers
+    ups = cfg.model.up_layers
+
+    # ---- DP gradient psum (training, all strategies) ----
+    pbytes = _param_bytes(cfg)
+    grad_psum = 2 * (D - 1) / D * pbytes         # ring reduce-scatter+AG
+    report = {
+        "n_devices": D,
+        "param_bytes": pbytes,
+        "dp": {
+            "grad_psum_bytes": int(grad_psum),
+            "time_ms": grad_psum / ICI_BYTES_PER_S * 1e3,
+        },
+    }
+
+    # ---- tier 2: one all_gather of the layer-1 level ----
+    m1 = layers[0].n_centers
+    c1 = layers[0].mlp[-1]
+    row = 3 * 4 + c1 * dt + 1
+    ag_bytes = 2 * (D - 1) / D * m1 * row
+    report["tier2"] = {
+        "all_gather_rows": m1,
+        "row_bytes": row,
+        "bytes_per_chip": int(ag_bytes),
+        "time_ms": ag_bytes / ICI_BYTES_PER_S * 1e3,
+    }
+
+    # ---- tier 3: per-level halo ppermutes ----
+    per_level = []
+    total_dir_bytes = 0.0                        # per direction (concurrent)
+    for i, l in enumerate(layers):
+        if l.n_centers % D:
+            raise ValueError(f"layers[{i}].n_centers % {D} != 0")
+        H = ghost_cap or max(8, l.n_centers // D)
+        c_i = l.mlp[-1]
+        enc = H * (3 * 4 + c_i * dt + 1)         # exchange_boundary, per dir
+        # matching decoder stage updates this level with up-MLP channels
+        stage = len(layers) - 1 - i              # decode stage index
+        c_dec = ups[stage].mlp[-1] if 0 <= stage < len(ups) else c_i
+        ref = H * c_dec * dt                     # refresh_ghosts, per dir
+        per_level.append({
+            "level": i, "H": H, "enc_bytes_per_dir": int(enc),
+            "refresh_bytes_per_dir": int(ref),
+        })
+        total_dir_bytes += enc + ref
+    report["tier3"] = {
+        "levels": per_level,
+        "bytes_per_dir_per_chip": int(total_dir_bytes),
+        "time_ms": total_dir_bytes / ICI_BYTES_PER_S * 1e3,
+    }
+
+    # ---- projection ----
+    if compute_ms_per_step is not None:
+        comm_ms = (report["tier3"]["time_ms"]
+                   if len(layers) > 1 else report["tier2"]["time_ms"])
+        report["projection"] = {
+            "compute_ms_per_shard": compute_ms_per_step,
+            "tier3_inference_efficiency":
+                compute_ms_per_step / (compute_ms_per_step
+                                       + report["tier3"]["time_ms"]),
+            "tier3_train_efficiency":
+                compute_ms_per_step / (compute_ms_per_step
+                                       + report["tier3"]["time_ms"]
+                                       + report["dp"]["time_ms"]),
+            "tier2_inference_efficiency":
+                compute_ms_per_step / (compute_ms_per_step
+                                       + report["tier2"]["time_ms"]),
+        }
+    return report
+
+
+def print_comm_report(cfg: Config, n_devices: int,
+                      compute_ms_per_step: Optional[float] = None) -> dict:
+    rep = comm_report(cfg, n_devices,
+                      compute_ms_per_step=compute_ms_per_step)
+    print("COMM_REPORT " + json.dumps(rep))
+    return rep

@@ -130,7 +130,8 @@ def refresh_ghosts(feat_own, send, axis_name):
 
 def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap: int = 0,
                              axis_name: str = DATA_AXIS,
-                             train: bool = False):
+                             train: bool = False,
+                             debug_capture: bool = False):
     """Build the jitted fully-sharded multi-level forward.
 
     Returns fwd(variables, shard_xyz [D,cap,3], shard_mask [D,cap],
@@ -144,7 +145,16 @@ def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap: int = 0,
     `ghost_overflow[d]` counts boundary rows shard d failed to ship across
     all levels/faces — nonzero means the decoder read stale/zero ghosts;
     raise ghost_cap (ADVICE r1 #2).
+
+    `debug_capture` (eval only) appends a per-decode-stage capture of the
+    post-ghost-refresh level state — a tuple of (xyz [D,R,3],
+    feat [D,R,C], valid [D,R], owned [D,R]) for every stage that carries
+    ghosts — so tests can assert the protocol's bitwise ghost-exactness
+    claim (module docstring: refreshed ghost features ARE the owner's
+    values) inside the real forward, not just at the primitive level.
     """
+    if debug_capture and train:
+        raise ValueError("debug_capture is an eval-only instrument")
     if cfg.model.task != "seg":
         raise ValueError("resident-ml forward is for segmentation models")
     if cfg.model.in_channels:
@@ -229,6 +239,7 @@ def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap: int = 0,
             levels.append((xyz, feat, valid[0], owned, send))
 
         # ---- decoder: interpolate locally, then refresh ghosts ----
+        captures = []
         c_xyz, c_feat = levels[-1][0], levels[-1][1]
         c_mask = levels[-1][2][None]
         for i in range(n_layers):
@@ -244,18 +255,28 @@ def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap: int = 0,
                 own_feat = new_feat[0, : new_feat.shape[1] - 2 * H]
                 g_new = refresh_ghosts(own_feat, d_send, axis_name)
                 new_feat = jnp.concatenate([own_feat, g_new])[None]
+                if debug_capture:
+                    captures.append((d_xyz, new_feat, d_valid[None],
+                                     d_owned[None]))
             c_xyz, c_feat, c_mask = d_xyz, new_feat, d_valid[None]
 
         logits = apply(variables, c_feat, train, method="head_logits",
                        rngs=rngs(200))
         if not train:
+            if debug_capture:
+                return logits, overflow[None], tuple(captures)
             return logits, overflow[None]
         stats_mean = jax.tree.map(
             lambda x: jax.lax.pmean(x, axis_name), stats)
         return logits, overflow[None], stats_mean
 
-    out_specs = ((P(axis_name), P(axis_name), P()) if train
-                 else (P(axis_name), P(axis_name)))
+    if train:
+        out_specs = (P(axis_name), P(axis_name), P())
+    elif debug_capture:
+        # third spec is a pytree prefix covering every captured leaf
+        out_specs = (P(axis_name), P(axis_name), P(axis_name))
+    else:
+        out_specs = (P(axis_name), P(axis_name))
     fwd = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name), P(), P(), P(), P()),

@@ -36,7 +36,13 @@ class CheckpointManager:
             # (or die later in from_state_dict with a bare shape error)
             with open(cfg_path) as f:
                 existing = f.read()
-            if existing != to_json(cfg):
+            # compare through the CURRENT schema (parse + re-serialize),
+            # not raw strings: a checkpoint written before a config field
+            # was added (new fields always get defaults) must keep loading
+            # — raw-string equality bricked every old ckpt on any additive
+            # schema change
+            from gridgcn_tpu.configs.base import from_json
+            if to_json(from_json(existing)) != to_json(cfg):
                 raise ValueError(
                     f"{cfg_path} was written by a different config; "
                     f"pick a fresh ckpt_dir for a new configuration "

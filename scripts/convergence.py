@@ -1,0 +1,105 @@
+"""Preset-scale convergence runs (VERDICT r2 #3).
+
+Trains the real BASELINE configs — their actual (M, K, resolution,
+channel) sizes, not the toy test models — on synthetic stand-ins to an
+accuracy plateau on the real chip, and prints the held-out metrics that
+get recorded into `train/accuracy_targets.json` as regression gates:
+
+  * `modelnet40_full` on `synthetic_shapes40` (40 shape-family classes,
+    1024 pts, batch 16 — the preset's exact model).
+  * `scannet_seg` on `synthetic_scene` labeled surface scenes (8192-pt
+    crops, batch 8, 4 part classes — the preset's exact encoder/decoder).
+
+Usage:
+  python scripts/convergence.py --run both [--epochs-cls 30 --epochs-seg 60]
+
+The runs are minutes on a v5e chip. Held-out metrics are read back from
+the JSONL the trainer writes; the final line is what gets recorded.
+"""
+
+import argparse
+import dataclasses
+import json
+import tempfile
+
+from gridgcn_tpu.configs import presets
+from gridgcn_tpu.configs.base import apply_overrides
+
+
+def _train_and_read(cfg, log_path):
+    from gridgcn_tpu.train.train import train
+
+    train(cfg, log_path=log_path)
+    evals = []
+    with open(log_path) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec.get("kind") == "eval":
+                evals.append(rec)
+    return evals
+
+
+def run_cls(epochs: int):
+    cfg = presets.get("modelnet40_full")
+    cfg = apply_overrides(cfg, {
+        "data.dataset": "synthetic_shapes40",
+        "train.epochs": epochs,
+        "train.eval_every": max(epochs // 10, 1),
+        "train.ckpt_every": epochs,          # final only
+        "train.ckpt_dir": tempfile.mkdtemp(prefix="conv_cls_"),
+    })
+    cfg = dataclasses.replace(cfg, name="modelnet40_full+shapes40")
+    log = tempfile.mktemp(suffix=".jsonl")
+    evals = _train_and_read(cfg, log)
+    print("CLS eval trajectory (epoch, overall_acc):")
+    for e in evals:
+        print(f"  {e['epoch']:4d}  {e['overall_acc']:.4f}")
+    best = max(e["overall_acc"] for e in evals)
+    final = evals[-1]["overall_acc"]
+    print(json.dumps({"run": "modelnet40_full+shapes40",
+                      "final_overall_acc": final, "best": best}))
+    return final
+
+
+def run_seg(epochs: int):
+    cfg = presets.get("scannet_seg")
+    cfg = apply_overrides(cfg, {
+        "data.dataset": "synthetic_scene",
+        "data.synthetic_size": 96,
+        "model.num_classes": 4,
+        "train.epochs": epochs,
+        "train.eval_every": max(epochs // 10, 1),
+        "train.ckpt_every": epochs,
+        "train.ckpt_dir": tempfile.mkdtemp(prefix="conv_seg_"),
+    })
+    # surface-scene labels have no "unannotated" class — drop the ScanNet
+    # ignore-label protocol (every point scores)
+    cfg = dataclasses.replace(
+        cfg, name="scannet_seg+surface",
+        model=dataclasses.replace(cfg.model, ignore_label=None))
+    log = tempfile.mktemp(suffix=".jsonl")
+    evals = _train_and_read(cfg, log)
+    print("SEG eval trajectory (epoch, overall_acc, miou):")
+    for e in evals:
+        print(f"  {e['epoch']:4d}  {e['overall_acc']:.4f}  {e['miou']:.4f}")
+    final = evals[-1]
+    print(json.dumps({"run": "scannet_seg+surface",
+                      "final_overall_acc": final["overall_acc"],
+                      "final_miou": final["miou"]}))
+    return final["miou"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run", choices=["cls", "seg", "both"], default="both")
+    ap.add_argument("--epochs-cls", type=int, default=30)
+    ap.add_argument("--epochs-seg", type=int, default=60)
+    args = ap.parse_args()
+    if args.run in ("cls", "both"):
+        run_cls(args.epochs_cls)
+    if args.run in ("seg", "both"):
+        run_seg(args.epochs_seg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Zero-comm sanity point for the scaling audit (design.md §13).
+
+Runs the tier-2 and tier-3 spatially-sharded forwards on a mesh of ONE
+real chip and compares steady-state latency against the plain unsharded
+forward on the same whole-scene input. At D=1 every ppermute/all_gather
+is a self-copy, so any gap over the plain forward is pure protocol
+overhead (shard_map plumbing, ghost buffers, slab bookkeeping) — the
+fixed cost the §13 ICI projection sits on top of.
+
+Usage: python scripts/study_mesh1_overhead.py [--iters 20]
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed(fn, *args, iters=20, warmup=2):
+    """bench.py protocol: fn must return a SCALAR; fetching it is the only
+    reliable sync on the remote-tunnel backend (block_until_ready can return
+    before execution finishes there). Pipelined launches, one final fetch."""
+    for _ in range(warmup):
+        float(fn(*args))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(*args)
+    float(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    from gridgcn_tpu.configs import presets
+    from gridgcn_tpu.data.synthetic import synthetic_scene_surface
+    from gridgcn_tpu.models.build import build_model, init_model
+    from gridgcn_tpu.models.fold import fold_inference
+    from gridgcn_tpu.parallel.mesh import make_mesh
+
+    cfg = presets.get("scannet_whole_scene")
+    N = cfg.data.num_points
+    model, variables = init_model(cfg)
+    cfg, variables = fold_inference(cfg, variables)
+    model = build_model(cfg.model)
+
+    xyz = np.asarray(synthetic_scene_surface(N, seed=7), np.float32)
+    mask = np.ones((N,), bool)
+    rng = jax.random.PRNGKey(0)
+
+    # ---- plain unsharded forward (the headline path) ----
+    @jax.jit
+    def forward(variables, xyz, mask, key):
+        return model.apply(variables, xyz, None, mask, train=False,
+                           rngs={"cagq": key}).sum()
+
+    xyz_d = jax.device_put(jnp.asarray(xyz)[None])
+    mask_d = jax.device_put(jnp.asarray(mask)[None])
+    t_plain = timed(forward, variables, xyz_d, mask_d, rng,
+                    iters=args.iters)
+    print(f"plain unsharded:      {t_plain:8.2f} ms/scene")
+
+    mesh = make_mesh(1)
+
+    # ---- tier 3 (resident-ml) at D=1 ----
+    from gridgcn_tpu.parallel import resident_ml as rml
+    from gridgcn_tpu.parallel.resident import resident_halo
+    from gridgcn_tpu.parallel.spatial import partition_scene, suggest_capacity
+    from gridgcn_tpu.ops.voxelize import grid_bounds
+
+    res0 = cfg.model.layers[0].resolution
+    origin, vsize = grid_bounds(jnp.asarray(xyz)[None],
+                                jnp.asarray(mask)[None], res0)
+    origin = np.asarray(origin)[0]
+    extent = np.asarray(vsize)[0] * res0 / (1.0 + 1e-5)
+    halo = resident_halo(cfg, np.asarray(vsize)[0])
+    cap = suggest_capacity(xyz, mask, 1, halo)
+    sx, sm, owned, sidx, edges = partition_scene(xyz, mask, 1, halo, cap)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from gridgcn_tpu.parallel.mesh import DATA_AXIS
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    var_r = jax.device_put(variables, NamedSharding(mesh, P()))
+    sx_d, sm_d = jax.device_put(sx, sh), jax.device_put(sm, sh)
+    e_d, o_d, x_d = jnp.asarray(edges), jnp.asarray(origin), jnp.asarray(extent)
+
+    fwd3 = rml.make_resident_ml_forward(cfg, mesh)
+    t3 = timed(lambda: jnp.sum(fwd3(var_r, sx_d, sm_d, e_d, o_d, x_d,
+                                    rng)[0]), iters=args.iters)
+    print(f"tier-3 resident-ml@1: {t3:8.2f} ms/scene "
+          f"(+{t3 - t_plain:.2f} = {(t3 / t_plain - 1) * 100:.1f}% overhead,"
+          f" capacity {cap})")
+
+    # ---- tier 2 (resident) at D=1 (takes vsize, not extent) ----
+    from gridgcn_tpu.parallel import resident as r2
+    v_d = jnp.asarray(np.asarray(vsize)[0])
+    fwd2 = r2.make_resident_forward(cfg, mesh)
+    t2 = timed(lambda: jnp.sum(fwd2(var_r, sx_d, sm_d, e_d, o_d, v_d, rng)),
+               iters=args.iters)
+    print(f"tier-2 resident@1:    {t2:8.2f} ms/scene "
+          f"(+{t2 - t_plain:.2f} = {(t2 / t_plain - 1) * 100:.1f}% overhead)")
+
+
+if __name__ == "__main__":
+    main()

@@ -102,6 +102,40 @@ def test_fold_bf16_close_and_casts_params(rng_key):
                                atol=0.1 * scale)
 
 
+def test_fold_eval_dtype_serves_f32_train_in_bf16(rng_key):
+    """VERDICT r2 #8: a preset that TRAINS in f32 but sets
+    eval_dtype='bfloat16' (the modelnet40_* presets) must fold into a
+    bf16-serving model with the classification fidelity bound, while the
+    training config is untouched f32."""
+    cfg = presets.get("synthetic_tiny")   # f32-trained cls config
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, eval_dtype="bfloat16"))
+    assert cfg.model.dtype == "float32"
+    model, variables = init_model(cfg)
+    variables = _randomize_bn(variables)
+    xyz, feat, mask = example_inputs(cfg, batch_size=4)
+    ref = model.apply(variables, xyz, feat, mask, train=False, rngs=_rngs())
+
+    fcfg, fvars = fold_inference(cfg, variables)
+    assert fcfg.model.dtype == "bfloat16"     # serving compute dtype
+    k0 = fvars["params"]["gridconv0"]["gca"]["edge_dense0"]["kernel"]
+    assert k0.dtype == jnp.bfloat16
+    assert fvars["params"]["logits"]["kernel"].dtype == jnp.float32
+
+    out = build_model(fcfg.model).apply(fvars, xyz, feat, mask,
+                                        train=False, rngs=_rngs())
+    assert out.dtype == jnp.float32
+    agree = float((jnp.argmax(out, -1) == jnp.argmax(ref, -1)).mean())
+    assert agree >= 0.98, f"bf16-served argmax agreement {agree:.4f}"
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=0.1 * scale)
+
+    # the modelnet40 presets carry the flag (keeps the preset honest)
+    for name in ("modelnet40_full", "modelnet40_cas", "modelnet40_compact"):
+        assert presets.get(name).model.eval_dtype == "bfloat16", name
+
+
 def test_fold_counts_every_bn(rng_key):
     cfg = presets.get("synthetic_tiny_seg")
     _, variables = init_model(cfg)

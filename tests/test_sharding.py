@@ -105,3 +105,35 @@ def test_parallel_grads_match_single_device(setup):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4),
         jax.device_get(s_grads), jax.device_get(p_grads))
+
+
+def test_comm_audit_accounting():
+    """F-22/F-24 comm-volume audit (VERDICT r2 #6): the report's arithmetic
+    is self-consistent and scales the right way with mesh size."""
+    from gridgcn_tpu.configs import presets
+    from gridgcn_tpu.parallel.comm_audit import comm_report
+
+    cfg = presets.get("scannet_seg")
+    r8 = comm_report(cfg, 8, compute_ms_per_step=1.5)
+    r4 = comm_report(cfg, 4)
+
+    # dp psum = ring cost over the exact parameter bytes
+    assert r8["param_bytes"] > 1e6
+    assert r8["dp"]["grad_psum_bytes"] == int(
+        2 * 7 / 8 * r8["param_bytes"])
+
+    # tier-2 all_gather rows = the full layer-1 level
+    assert r8["tier2"]["all_gather_rows"] == cfg.model.layers[0].n_centers
+
+    # tier-3 halo buffers shrink with the per-shard center share
+    h8 = {l["level"]: l["H"] for l in r8["tier3"]["levels"]}
+    h4 = {l["level"]: l["H"] for l in r4["tier3"]["levels"]}
+    for lvl, spec in enumerate(cfg.model.layers):
+        assert h8[lvl] == max(8, spec.n_centers // 8)
+        assert h4[lvl] == max(8, spec.n_centers // 4)
+    assert r8["tier3"]["bytes_per_dir_per_chip"] > 0
+
+    # projection: halo traffic is noise next to compute for this config
+    proj = r8["projection"]
+    assert 0.9 < proj["tier3_inference_efficiency"] <= 1.0
+    assert 0.0 < proj["tier3_train_efficiency"] <= 1.0

