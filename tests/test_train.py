@@ -338,3 +338,36 @@ def test_ignore_label_excluded_from_loss_and_metrics():
     w = np.asarray(class_weights_from_dataset(
         np.asarray(labels), C, ignore_label=0))
     assert w[0] == 0.0 and (w[1:] > 0).all()
+
+
+def test_accuracy_targets_file_consistent():
+    """The recorded targets file (gridgcn_tpu/train/accuracy_targets.json)
+    is a contract: every repo-measured entry must carry a measured value
+    that SATISFIES its own target (else the gate was recorded broken), and
+    the preset-scale convergence entries (VERDICT r2 #3) must exist with
+    their r3 measurements."""
+    import json, os
+    import gridgcn_tpu.train as _tr
+
+    t = json.load(open(os.path.join(
+        os.path.dirname(_tr.__file__), "accuracy_targets.json")))
+
+    assert t["synthetic_tiny_heldout"]["measured_r3"] >= \
+        t["synthetic_tiny_heldout"]["target"] == 0.99
+    s = t["synthetic_scene_heldout"]
+    assert s["measured_r3_miou"] >= s["target"]
+    assert s["measured_r3_overall_acc"] >= s["target_overall_acc"]
+
+    # preset-scale convergence gates: the actual BASELINE configs trained
+    # to plateau on the real chip (scripts/convergence.py)
+    cls = t["modelnet40_full_shapes40"]
+    assert cls["measured_r3"] >= cls["target"] >= 0.95
+    assert 0 < cls["short_run_allowance"] <= 0.05
+    seg = t["scannet_seg_surface"]
+    assert seg["measured_r3_miou"] >= seg["target"] >= 0.8
+    assert seg["measured_r3_overall_acc"] >= seg["target_overall_acc"]
+
+    # reference-published targets stay pinned (BASELINE.json north star)
+    assert t["modelnet40"]["target"] == 0.931
+    assert t["s3dis"]["target"] == 0.5775
+    assert t["scannet"]["target"] == 0.851
