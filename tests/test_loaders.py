@@ -168,3 +168,36 @@ def test_eval_batches_mark_padded_examples():
     np.testing.assert_array_equal(batches[2]["example_mask"],
                                   [True, True, False, False])
     assert int(sum(b["example_mask"].sum() for b in batches)) == 10
+
+
+def test_synthetic_shapes40_generator():
+    """The 40-class ModelNet40 stand-in (VERDICT r2 #3): deterministic per
+    seed, disjoint across seeds, unit-normalized, every class represented,
+    and classes must NOT collapse — a trivial nearest-centroid probe on
+    second-moment features already separates most of the grid (shape x
+    aspect x part), so the preset-scale convergence gate trains on real
+    structure, not noise."""
+    from gridgcn_tpu.data.synthetic import synthetic_shapes40
+
+    pts, labels = synthetic_shapes40(120, 256, seed=0)
+    pts2, labels2 = synthetic_shapes40(120, 256, seed=0)
+    np.testing.assert_array_equal(pts, pts2)
+    np.testing.assert_array_equal(labels, labels2)
+    other, _ = synthetic_shapes40(120, 256, seed=1)
+    assert not np.array_equal(pts, other)      # train/test splits differ
+
+    assert pts.shape == (120, 256, 3) and pts.dtype == np.float32
+    assert np.isfinite(pts).all()
+    assert np.abs(pts).max() <= 1.0 + 1e-5     # unit-normalized
+    assert set(labels.tolist()) == set(range(40))
+
+    def feats(p):
+        return np.concatenate([p.std(0), np.abs(p).mean(0),
+                               [np.linalg.norm(p, axis=1).std()]])
+
+    F = np.stack([feats(p) for p in pts])
+    tr, te, ltr, lte = F[:80], F[80:], labels[:80], labels[80:]
+    cent = np.stack([tr[ltr == c].mean(0) for c in range(40)])
+    pred = np.argmin(((te[:, None, :] - cent[None]) ** 2).sum(-1), 1)
+    acc = (pred == lte).mean()
+    assert acc >= 0.5, f"classes collapsed: moment-probe acc {acc:.3f}"
