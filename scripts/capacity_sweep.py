@@ -87,10 +87,13 @@ def main():
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--quick", action="store_true",
                     help="nv sweep only, skip the resolution arm")
+    ap.add_argument("--preset", default="synthetic_scene_seg",
+                    help="any seg preset — rerun the sweep on real data "
+                         "once datasets are mounted (design.md §12 caveat)")
     args = ap.parse_args()
 
     from gridgcn_tpu.configs import presets
-    base = presets.get("synthetic_scene_seg")
+    base = presets.get(args.preset)
     r0 = base.model.layers[0].resolution
 
     rows = []
