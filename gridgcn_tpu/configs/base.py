@@ -181,10 +181,10 @@ class TrainConfig:
     label_smoothing: float = 0.0
     class_weighting: bool = False  # seg: weight CE by inverse class frequency
     ckpt_dir: str = "checkpoints"
-    ckpt_every: int = 1            # epochs between checkpoints
+    ckpt_every: int = 1            # epochs between checkpoints (0: final only)
     keep_ckpts: int = 3
-    eval_every: int = 1            # epochs between evals
-    log_every: int = 50            # steps between metric lines
+    eval_every: int = 1            # epochs between evals (0: disabled)
+    log_every: int = 50            # steps between metric lines (0: disabled)
     # mixed precision lives on ModelConfig.dtype ('bfloat16' runs the dense
     # GCA/decoder math in bf16 with f32 params/optimizer — flax Dense
     # semantics); override from the CLI with model.dtype=bfloat16

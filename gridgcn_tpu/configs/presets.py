@@ -9,6 +9,8 @@ dropped in without code changes.
 
 from __future__ import annotations
 
+import dataclasses
+
 from gridgcn_tpu.configs.base import (
     Config,
     DataConfig,
@@ -151,6 +153,28 @@ def scannet_seg() -> Config:
     )
 
 
+def scannet_seg_bf16() -> Config:
+    """`scannet_seg` with bf16 dense compute for TRAINING (VERDICT r2 #7).
+
+    Measured on the real chip (scripts/study_train_leads.py, 30 iters):
+    34.05 -> 31.72 ms/step (-7%). Params/optimizer state stay f32 (flax
+    param_dtype default); only the GCA/decoder matmul compute runs bf16 —
+    TPU-native mixed precision, no loss scaling needed (bf16 keeps f32's
+    exponent range).
+
+    OPT-IN, not the default: paired 12-epoch synthetic_scene_seg runs
+    (seeds 0-2) measure a consistent held-out cost of ~0.015 mIoU
+    (f32 0.810/0.814/0.813 vs bf16 0.792/0.799/0.799 — BASELINE.md
+    round-3 notes). Use when step time matters more than the last
+    ~1.5 mIoU points, or as the starting point for bf16-with-f32-finish
+    schedules; `scannet_seg` stays f32.
+    """
+    base = scannet_seg()
+    return dataclasses.replace(
+        base, name="scannet_seg_bf16",
+        model=dataclasses.replace(base.model, dtype="bfloat16"))
+
+
 def scannet_whole_scene() -> Config:
     """BASELINE config 5: whole-scene ScanNet inference, 80K+ pts, multi-chip.
 
@@ -263,6 +287,7 @@ PRESETS = {
     "modelnet40_compact": modelnet40_compact,
     "s3dis_seg": s3dis_seg,
     "scannet_seg": scannet_seg,
+    "scannet_seg_bf16": scannet_seg_bf16,
     "scannet_whole_scene": scannet_whole_scene,
     "synthetic_scene_seg": synthetic_scene_seg,
     "synthetic_tiny": synthetic_tiny,

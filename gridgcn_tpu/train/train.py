@@ -109,7 +109,8 @@ def train(cfg: Config, mesh_devices: int = 0, log_path: str | None = None,
             state, m = train_step(state, batch, rng)
             losses.append(m["loss"])
             accs.append(m["acc"])
-            if int(state.step) % cfg.train.log_every == 0:
+            if (cfg.train.log_every > 0
+                    and int(state.step) % cfg.train.log_every == 0):
                 log.log("train_step", step=int(state.step),
                         loss=float(m["loss"]), acc=float(m["acc"]),
                         lr=float(m.get("lr", cfg.train.lr)),
@@ -121,7 +122,9 @@ def train(cfg: Config, mesh_devices: int = 0, log_path: str | None = None,
                 acc=float(np.mean(jax.device_get(accs))),
                 points_per_sec=pts_per_sec)
 
-        if (epoch + 1) % cfg.train.eval_every == 0 or epoch == cfg.train.epochs - 1:
+        if cfg.train.eval_every > 0 and (
+                (epoch + 1) % cfg.train.eval_every == 0
+                or epoch == cfg.train.epochs - 1):
             cm = jnp.zeros((cfg.model.num_classes, cfg.model.num_classes),
                            jnp.int32)
             ek = jax.random.PRNGKey(10_000 + epoch)
@@ -135,7 +138,8 @@ def train(cfg: Config, mesh_devices: int = 0, log_path: str | None = None,
                     mean_class_acc=float(s["mean_class_acc"]),
                     miou=float(s["miou"]))
 
-        if (epoch + 1) % cfg.train.ckpt_every == 0 or epoch == cfg.train.epochs - 1:
+        if (cfg.train.ckpt_every > 0 and (epoch + 1) % cfg.train.ckpt_every == 0) \
+                or epoch == cfg.train.epochs - 1:
             ckpt.save(int(state.step), jax.device_get(state),
                       jax.device_get(rng))
     ckpt.wait()
@@ -211,7 +215,8 @@ def train_spatial(cfg: Config, mesh_devices: int,
             state, m = step(state, batch, rng)
             losses.append(m["loss"])
             accs.append(m["acc"])
-            if int(state.step) % cfg.train.log_every == 0:
+            if (cfg.train.log_every > 0
+                    and int(state.step) % cfg.train.log_every == 0):
                 log.log("train_step", step=int(state.step),
                         loss=float(m["loss"]), acc=float(m["acc"]),
                         grad_norm=float(m["grad_norm"]))
@@ -220,7 +225,8 @@ def train_spatial(cfg: Config, mesh_devices: int,
                 acc=float(np.mean(jax.device_get(accs))),
                 points_per_sec=train_ds.size * N
                 / max(time.time() - t_ep, 1e-9))
-        if (epoch + 1) % cfg.train.ckpt_every == 0                 or epoch == cfg.train.epochs - 1:
+        if (cfg.train.ckpt_every > 0 and (epoch + 1) % cfg.train.ckpt_every == 0) \
+                or epoch == cfg.train.epochs - 1:
             ckpt.save(int(state.step), jax.device_get(state),
                       jax.device_get(rng))
     ckpt.wait()
