@@ -25,8 +25,9 @@ Transfer-time projection model (stated assumptions, not measurements):
 one-directional ICI link bandwidth per the public v5e figures ≈ 45 GB/s;
 the slab ring maps onto one torus axis, so the two ppermute directions ride
 distinct links concurrently and the per-hop time is max(bytes_dir)/BW;
-all_gather/psum use the standard ring cost 2·(D−1)/D · bytes / BW (psum =
-reduce_scatter + all_gather). DCN is out of scope (single-slice audit).
+the gradient psum uses the standard ring cost 2·(D−1)/D · bytes / BW
+(reduce_scatter + all_gather), a plain all_gather moves (D−1)/D of the
+payload per chip (ADVICE r3 #3). DCN is out of scope (single-slice audit).
 """
 
 from __future__ import annotations
@@ -94,7 +95,9 @@ def comm_report(cfg: Config, n_devices: int,
     m1 = layers[0].n_centers
     c1 = layers[0].mlp[-1]
     row = 3 * 4 + c1 * dt + 1
-    ag_bytes = 2 * (D - 1) / D * m1 * row
+    # ring all_gather: each chip RECEIVES the other D-1 shares, i.e.
+    # (D-1)/D of the assembled level — not the 2x psum factor (ADVICE r3 #3)
+    ag_bytes = (D - 1) / D * m1 * row
     report["tier2"] = {
         "all_gather_rows": m1,
         "row_bytes": row,
@@ -111,10 +114,15 @@ def comm_report(cfg: Config, n_devices: int,
         H = ghost_cap or max(8, l.n_centers // D)
         c_i = l.mlp[-1]
         enc = H * (3 * 4 + c_i * dt + 1)         # exchange_boundary, per dir
-        # matching decoder stage updates this level with up-MLP channels
-        stage = len(layers) - 1 - i              # decode stage index
-        c_dec = ups[stage].mlp[-1] if 0 <= stage < len(ups) else c_i
-        ref = H * c_dec * dt                     # refresh_ghosts, per dir
+        # decode stage s updates level len(layers)-2-s, so level i is
+        # refreshed by stage len(layers)-2-i with that stage's up-MLP
+        # width; the DEEPEST level is the decoder's input and is never
+        # refreshed (ADVICE r3 #2)
+        stage = len(layers) - 2 - i              # decode stage index
+        if i == len(layers) - 1 or not (0 <= stage < len(ups)):
+            ref = 0.0                            # no refresh for this level
+        else:
+            ref = H * ups[stage].mlp[-1] * dt    # refresh_ghosts, per dir
         per_level.append({
             "level": i, "H": H, "enc_bytes_per_dir": int(enc),
             "refresh_bytes_per_dir": int(ref),

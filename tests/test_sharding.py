@@ -122,8 +122,13 @@ def test_comm_audit_accounting():
     assert r8["dp"]["grad_psum_bytes"] == int(
         2 * 7 / 8 * r8["param_bytes"])
 
-    # tier-2 all_gather rows = the full layer-1 level
+    # tier-2 all_gather rows = the full layer-1 level; ring all_gather
+    # receives (D-1)/D of the assembled level, NOT the 2x psum factor
+    # (ADVICE r3 #3)
     assert r8["tier2"]["all_gather_rows"] == cfg.model.layers[0].n_centers
+    row = 3 * 4 + cfg.model.layers[0].mlp[-1] * 4 + 1
+    assert r8["tier2"]["bytes_per_chip"] == int(
+        7 / 8 * cfg.model.layers[0].n_centers * row)
 
     # tier-3 halo buffers shrink with the per-shard center share
     h8 = {l["level"]: l["H"] for l in r8["tier3"]["levels"]}
@@ -132,6 +137,18 @@ def test_comm_audit_accounting():
         assert h8[lvl] == max(8, spec.n_centers // 8)
         assert h4[lvl] == max(8, spec.n_centers // 4)
     assert r8["tier3"]["bytes_per_dir_per_chip"] > 0
+
+    # decoder refresh widths: level i is refreshed by decode stage
+    # len(layers)-2-i with that stage's up-MLP output width; the deepest
+    # level is the decoder's INPUT and is never refreshed (ADVICE r3 #2)
+    n = len(cfg.model.layers)
+    for lvl_rec in r8["tier3"]["levels"]:
+        i, H = lvl_rec["level"], lvl_rec["H"]
+        if i == n - 1:
+            assert lvl_rec["refresh_bytes_per_dir"] == 0
+        else:
+            c_dec = cfg.model.up_layers[n - 2 - i].mlp[-1]
+            assert lvl_rec["refresh_bytes_per_dir"] == H * c_dec * 4
 
     # projection: halo traffic is noise next to compute for this config
     proj = r8["projection"]
