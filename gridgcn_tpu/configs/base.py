@@ -115,6 +115,18 @@ class ModelConfig:
     dropout: float = 0.5
     bn_momentum: float = 0.9
     dtype: str = "float32"               # compute dtype for the dense GCA math
+    # selective mixed precision (VERDICT r3 #1): compute dtype of the GCA
+    # attention path — geometry encoding, coverage normalization, context
+    # summary, attention MLP + softmax ("" = follow `dtype`). Lets bf16
+    # training keep its precision-sensitive island in f32 while the
+    # matmul-heavy edge/up/head MLPs (the FLOP carriers, SURVEY §3.3) run
+    # bf16. BN batch statistics are f32 regardless (flax computes them in
+    # f32 and stores batch_stats in f32).
+    att_dtype: str = ""
+    # compute dtype of the decoder's 3-NN inverse-distance weighted sum
+    # ("" = follow `dtype`); f32 here keeps the interpolation accumulation
+    # exact while features still flow bf16 into the up-MLPs.
+    interp_dtype: str = ""
     # inference-only compute dtype ("" = same as dtype). Consumed by
     # models.fold.fold_inference, i.e. every inference surface that folds
     # (serving Predictor, AOT export, bench): presets that TRAIN in f32 can

@@ -36,10 +36,11 @@ class GridGCNClassifier(nn.Module):
 
         conv_cls = nn.remat(GridConv, static_argnums=(4,)) if cfg.remat \
             else GridConv
+        adt = jnp.dtype(cfg.att_dtype) if cfg.att_dtype else None
         for i, spec in enumerate(cfg.layers):
             xyz, feat, mask = conv_cls(
                 spec, dtype=dtype, bn_momentum=cfg.bn_momentum,
-                fold_bn=cfg.fold_bn,
+                fold_bn=cfg.fold_bn, att_dtype=adt,
                 feat_has_xyz_prefix=(i == 0 and cfg.use_xyz_feature),
                 name=f"gridconv{i}")(xyz, feat, mask, train)
 

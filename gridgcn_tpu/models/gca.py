@@ -33,6 +33,11 @@ class GCA(nn.Module):
     bn_momentum: float = 0.9
     # inference-only: BN already folded into the Dense weights (models.fold)
     fold_bn: bool = False
+    # selective mixed precision (ModelConfig.att_dtype): dtype of the
+    # attention path — geometry, coverage norm, context summary, attention
+    # MLP + softmax. None = follow `dtype` (the single-dtype path, bit-
+    # identical to the pre-knob module).
+    att_dtype: jnp.dtype = None
 
     def _mlp(self, x, widths, mask, train: bool, name: str):
         for li, w in enumerate(widths):
@@ -57,13 +62,18 @@ class GCA(nn.Module):
         spec.context_pool_source='candidates'); when absent the summary is
         pooled over the K selected nodes."""
         spec = self.spec
-        delta_p = delta_p.astype(self.dtype)
+        adt = self.dtype if self.att_dtype is None else self.att_dtype
+        # geometry is computed at the attention-path dtype; when adt ==
+        # dtype this is exactly the single-dtype path (cast before norm)
+        delta_p = delta_p.astype(adt)
         dist = jnp.linalg.norm(delta_p + 1e-12, axis=-1, keepdims=True)
         geo = jnp.concatenate([delta_p, dist], axis=-1)          # [B,M,K,4]
         geo = jnp.where(mask[..., None], geo, 0.0)
 
-        parts = [geo] if node_feat is None else [
-            jnp.where(mask[..., None], node_feat.astype(self.dtype), 0.0), geo]
+        geo_e = geo.astype(self.dtype)
+        parts = [geo_e] if node_feat is None else [
+            jnp.where(mask[..., None], node_feat.astype(self.dtype), 0.0),
+            geo_e]
         edge_in = jnp.concatenate(parts, axis=-1)
 
         edge = self._mlp(edge_in, spec.mlp, mask, train, "edge")  # [B,M,K,Co]
@@ -71,7 +81,7 @@ class GCA(nn.Module):
         # --- attention inputs ---
         att_parts = [geo]
         if spec.use_coverage:
-            cov = coverage.astype(self.dtype)
+            cov = coverage.astype(adt)
             cov_sum = jnp.sum(jnp.where(mask, cov, 0.0), axis=-1, keepdims=True)
             cov_norm = cov / jnp.maximum(cov_sum, 1.0)
             att_parts.append(jnp.where(mask, cov_norm, 0.0)[..., None])
@@ -82,20 +92,21 @@ class GCA(nn.Module):
             # either ALL stored context points (ctx_feat, paper-faithful) or
             # the K selected nodes (cheap default).
             if ctx_feat is not None:
-                ctx = ctx_feat.astype(self.dtype)
+                ctx = ctx_feat.astype(adt)
             else:
                 denom = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1)
-                ctx = jnp.sum(edge_in * mask[..., None], axis=-2) / denom
-            ctx = nn.Dense(spec.context_channels, dtype=self.dtype,
+                src = edge_in.astype(adt)
+                ctx = jnp.sum(src * mask[..., None], axis=-2) / denom
+            ctx = nn.Dense(spec.context_channels, dtype=adt,
                            name="ctx_dense")(ctx)
             ctx = nn.relu(ctx)                                    # [B,M,Cctx]
             att_parts.append(jnp.broadcast_to(
                 ctx[:, :, None, :], (*mask.shape, spec.context_channels)))
         att_in = jnp.concatenate(att_parts, axis=-1)
 
-        a = nn.Dense(spec.att_hidden, dtype=self.dtype, name="att_dense0")(att_in)
+        a = nn.Dense(spec.att_hidden, dtype=adt, name="att_dense0")(att_in)
         a = nn.relu(a)
-        a = nn.Dense(1, dtype=self.dtype, name="att_dense1")(a)[..., 0]  # [B,M,K]
+        a = nn.Dense(1, dtype=adt, name="att_dense1")(a)[..., 0]  # [B,M,K]
         if spec.att_activation == "softmax":
             a = jnp.where(mask, a, _NEG_INF)
             att = jax.nn.softmax(a, axis=-1)
@@ -105,7 +116,9 @@ class GCA(nn.Module):
             att = jax.nn.sigmoid(a) * 2.0
         else:
             raise ValueError(f"unknown att_activation: {spec.att_activation}")
-        att = jnp.where(mask, att, 0.0)
+        # attention weights rejoin the edge path at the edge dtype (a noop
+        # on the single-dtype path) — the softmax itself ran at adt
+        att = jnp.where(mask, att, 0.0).astype(self.dtype)
 
         weighted = edge * att[..., None]                          # [B,M,K,Co]
 

@@ -45,9 +45,10 @@ class GridGCNSegmentation(nn.Module):
         dtype = jnp.dtype(cfg.dtype)
         conv_cls = nn.remat(GridConv, static_argnums=(4,)) if cfg.remat \
             else GridConv
+        adt = jnp.dtype(cfg.att_dtype) if cfg.att_dtype else None
         self._convs = [
             conv_cls(spec, dtype=dtype, bn_momentum=cfg.bn_momentum,
-                     fold_bn=cfg.fold_bn,
+                     fold_bn=cfg.fold_bn, att_dtype=adt,
                      feat_has_xyz_prefix=(i == 0 and cfg.use_xyz_feature),
                      name=f"gridconv{i}")
             for i, spec in enumerate(cfg.layers)]
@@ -103,8 +104,12 @@ class GridGCNSegmentation(nn.Module):
             nn_idx, weights, _ = grid_three_nn(
                 d_xyz, d_mask, c_xyz, c_mask, up.resolution, up.nv, key,
                 k=up.k_interp, context=up.context)
+        # interp_dtype: the inverse-distance weighted sum can accumulate at
+        # higher precision than the up-MLPs (selective mixed precision);
+        # the result rejoins the MLP path at the compute dtype either way
+        idt = jnp.dtype(cfg.interp_dtype) if cfg.interp_dtype else dtype
         interp = three_nn_interpolate(
-            c_feat.astype(dtype), nn_idx, weights.astype(dtype))
+            c_feat.astype(idt), nn_idx, weights.astype(idt)).astype(dtype)
 
         skip = d_feat if d_feat is not None else d_xyz
         x = jnp.concatenate([interp, skip.astype(dtype)], axis=-1)
