@@ -81,6 +81,9 @@ def make_resident_forward(cfg: Config, mesh: Mesh,
                 edges [D+1], origin [3], vsize [3], rng)
               -> logits [D, cap, num_classes]             (train=False)
               -> (logits, batch_stats updates)            (train=True)
+    When cfg.model.in_channels > 0 the signature gains shard_feat
+    [D, cap, in_channels] right after shard_xyz (input features ride the
+    host partition like xyz; deeper levels travel in the all_gather).
     with the leading logits axis sharded over `axis_name`. Ghost-point
     logits are meaningless — consumers mask with `owned`. train=True runs
     BatchNorm in batch mode and dropout live; per-shard BN statistics are
@@ -90,13 +93,12 @@ def make_resident_forward(cfg: Config, mesh: Mesh,
     """
     if cfg.model.task != "seg":
         raise ValueError("resident forward is for segmentation models")
-    if cfg.model.in_channels:
-        raise ValueError("resident forward supports xyz-only input (v1)")
+    C_in = cfg.model.in_channels
     n_layers = len(cfg.model.layers)
     D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     model = _resident_model(cfg, D)
 
-    def shard_fn(variables, sx, sm, edges, origin, vsize, rng):
+    def shard_fn(variables, sx, sf, sm, edges, origin, vsize, rng):
         # per-shard blocks keep the sharded leading axis at size 1:
         # sx [1, cap, 3], sm [1, cap] — it doubles as the batch dim
         d = jax.lax.axis_index(axis_name)
@@ -123,7 +125,14 @@ def make_resident_forward(cfg: Config, mesh: Mesh,
             _merge_stats(stats, mut["batch_stats"])
             return out
 
-        feat0 = sx if cfg.model.use_xyz_feature else None
+        # input features mirror the monolithic network's convention
+        # (segmentation.__call__: xyz prefixed when use_xyz_feature);
+        # halo points carry their features via the host partition
+        if C_in:
+            feat0 = (jnp.concatenate([sx, sf], -1)
+                     if cfg.model.use_xyz_feature else sf)
+        else:
+            feat0 = sx if cfg.model.use_xyz_feature else None
 
         # ---- layer 0: sharded, on the global grid ----
         c_xyz, c_feat, c_valid = apply(
@@ -174,10 +183,17 @@ def make_resident_forward(cfg: Config, mesh: Mesh,
         return logits, stats_mean
 
     out_specs = (P(axis_name), P()) if train else P(axis_name)
+    if C_in:
+        fn = shard_fn
+        in_specs = (P(), P(axis_name), P(axis_name), P(axis_name),
+                    P(), P(), P(), P())
+    else:
+        def fn(variables, sx, sm, edges, origin, vsize, rng):
+            return shard_fn(variables, sx, None, sm, edges, origin,
+                            vsize, rng)
+        in_specs = (P(), P(axis_name), P(axis_name), P(), P(), P(), P())
     fwd = jax.shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(P(), P(axis_name), P(axis_name), P(), P(), P(), P()),
-        out_specs=out_specs,
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False)
     return jax.jit(fwd)
 
@@ -194,7 +210,8 @@ def resident_seg_predict(cfg: Config, variables, xyz: np.ndarray,
                          mask: np.ndarray, mesh: Mesh,
                          capacity: Optional[int] = None,
                          rng: Optional[jax.Array] = None,
-                         fwd=None, votes: int = 1) -> np.ndarray:
+                         fwd=None, votes: int = 1,
+                         feat: Optional[np.ndarray] = None) -> np.ndarray:
     """Whole-scene per-point logits with the dense level sharded over the
     mesh. xyz [N, 3], mask [N] → logits [N, num_classes] (zeros for invalid
     points). Pass a prebuilt `fwd` (make_resident_forward) to reuse the
@@ -225,13 +242,23 @@ def resident_seg_predict(cfg: Config, variables, xyz: np.ndarray,
     sh = NamedSharding(mesh, P(DATA_AXIS))
     # replicate params onto the mesh (checkpoint restores commit to one device)
     variables = jax.device_put(variables, NamedSharding(mesh, P()))
-    sx, sm = jax.device_put(sx, sh), jax.device_put(sm, sh)
+    if cfg.model.in_channels:
+        if feat is None:
+            raise ValueError(
+                f"cfg.model.in_channels={cfg.model.in_channels} requires "
+                f"per-point feat [N, in_channels]")
+        sf = feat[sidx] * sm[..., None].astype(feat.dtype)
+        sx, sm = jax.device_put(sx, sh), jax.device_put(sm, sh)
+        pos_args = (sx, jax.device_put(sf, sh), sm)
+    else:
+        sx, sm = jax.device_put(sx, sh), jax.device_put(sm, sh)
+        pos_args = (sx, sm)
     edges_d, origin_d, vsize_d = (jnp.asarray(edges), jnp.asarray(origin),
                                   jnp.asarray(vsize))
     acc = None
     for v in range(votes):
         k = jax.random.fold_in(rng, v) if votes > 1 else rng
-        lg = fwd(variables, sx, sm, edges_d, origin_d, vsize_d, k)
+        lg = fwd(variables, *pos_args, edges_d, origin_d, vsize_d, k)
         acc = lg if acc is None else acc + lg
     logits = np.asarray(jax.device_get(acc)) / votes
 

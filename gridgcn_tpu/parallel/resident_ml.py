@@ -128,7 +128,72 @@ def refresh_ghosts(feat_own, send, axis_name):
     return jnp.concatenate([lf, rf])
 
 
-def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap: int = 0,
+def ghost_band_widths(cfg: Config, extent: np.ndarray) -> list:
+    """Per-level ghost band width in world units — the SAME reach rule the
+    tier-3 forward uses (`make_resident_ml_forward`): level i's boundary
+    band must cover the context reach of the NEXT level's grid (the last
+    level covers its own, as first decode support)."""
+    widths = []
+    n = len(cfg.model.layers)
+    for i, l in enumerate(cfg.model.layers):
+        spec = cfg.model.layers[i + 1] if i + 1 < n else l
+        vsize = np.max(extent) * (1.0 + 1e-5) / spec.resolution
+        widths.append(float((spec.context // 2 + 1) * vsize))
+    return widths
+
+
+def calibrate_ghost_cap(cfg: Config, xyz: np.ndarray, mask: np.ndarray,
+                        n_shards: int, safety: float = 2.0,
+                        round_to: int = 8) -> tuple:
+    """Per-level ghost_cap sized from measured boundary-band occupancy
+    instead of the zero-overflow full-share default (VERDICT r3 #3).
+
+    The full-share default guarantees zero overflow but maximizes the
+    ghost-compute TAX: every level carries 2× its owned rows as static
+    ghost buffers through sampling/gather/GCA (measured +31% at the
+    degenerate mesh=1 point, design.md §13). The true need is the band
+    occupancy: a level's centers follow the slab's point distribution, so
+    the expected owned centers within `width` of a face is
+    (per-shard share) × (the slab's point fraction inside the band).
+    This measures that fraction per interior face/side on the actual
+    scene, takes the worst case × `safety`, and clamps to [8, share].
+
+    The estimate is VERIFIED, not trusted: the forward's ghost_overflow
+    counters report any boundary row a shard failed to ship — nonzero
+    means raise `safety` (capacities are config like every other fixed
+    capacity in this framework, SURVEY §7 H1).
+    """
+    from gridgcn_tpu.parallel.spatial import _slab_edges
+
+    pts = np.asarray(xyz)[np.asarray(mask)]
+    x = pts[:, 0]
+    edges = _slab_edges(x, n_shards)
+    res0 = cfg.model.layers[0].resolution
+    origin, vsize = grid_bounds(jnp.asarray(pts)[None],
+                                jnp.ones((1, len(pts)), bool), res0)
+    extent = np.asarray(vsize)[0] * res0 / (1.0 + 1e-5)
+
+    caps = []
+    for l, width in zip(cfg.model.layers, ghost_band_widths(cfg, extent)):
+        share = max(1, l.n_centers // n_shards)
+        worst = 0.0
+        for d in range(n_shards):
+            in_slab = (x >= edges[d]) & (x < edges[d + 1])
+            n_slab = max(int(in_slab.sum()), 1)
+            # band against the right face (ships right) and the left face
+            if d + 1 < n_shards:
+                worst = max(worst, float(
+                    (in_slab & (x >= edges[d + 1] - width)).sum()) / n_slab)
+            if d > 0:
+                worst = max(worst, float(
+                    (in_slab & (x < edges[d] + width)).sum()) / n_slab)
+        need = int(np.ceil(share * worst * safety))
+        need = -(-max(need, round_to) // round_to) * round_to
+        caps.append(int(min(need, max(8, share))))
+    return tuple(caps)
+
+
+def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap=0,
                              axis_name: str = DATA_AXIS,
                              train: bool = False,
                              debug_capture: bool = False):
@@ -138,10 +203,19 @@ def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap: int = 0,
                 edges [D+1], origin [3], extent [3], rng)
               -> (logits [D, cap, num_classes], ghost_overflow [D] int32)
               -> (logits, ghost_overflow, batch_stats)       (train=True)
+    When cfg.model.in_channels > 0 (e.g. the S3DIS config's 6 rgb/normalized
+    channels, SURVEY §2.3 F-13), the signature gains shard_feat
+    [D, cap, in_channels] right after shard_xyz: input-level features ride
+    the host partitioning like xyz (halo points carry theirs), and every
+    deeper level's features already travel in the boundary exchange
+    (`exchange_boundary` ships arbitrary-width feat).
     with the leading axes sharded over `axis_name`; ghost-point logits are
     meaningless (mask with `owned`). `ghost_cap` = per-face ghost buffer
-    rows per level (default: the shard's full center share, which cannot
-    overflow; set lower to trade boundary fidelity for ghost volume).
+    rows per level — an int for all levels or a per-level sequence
+    (`calibrate_ghost_cap` sizes one from data). Default 0 = the shard's
+    full center share, which cannot overflow but maximizes the
+    ghost-compute tax (design.md §13: +31% at the degenerate mesh=1
+    point); set lower to trade boundary fidelity for ghost volume.
     `ghost_overflow[d]` counts boundary rows shard d failed to ship across
     all levels/faces — nonzero means the decoder read stale/zero ghosts;
     raise ghost_cap (ADVICE r1 #2).
@@ -157,8 +231,7 @@ def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap: int = 0,
         raise ValueError("debug_capture is an eval-only instrument")
     if cfg.model.task != "seg":
         raise ValueError("resident-ml forward is for segmentation models")
-    if cfg.model.in_channels:
-        raise ValueError("resident-ml forward supports xyz-only input (v1)")
+    C_in = cfg.model.in_channels
     n_layers = len(cfg.model.layers)
     D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     # every layer samples its share M_i/D of centers (tier 2 divides only
@@ -169,11 +242,17 @@ def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap: int = 0,
                              f"divisible by {D} shards")
     layers = tuple(dataclasses.replace(l, n_centers=l.n_centers // D)
                    for l in cfg.model.layers)
+    caps = (tuple(int(c) for c in ghost_cap)
+            if isinstance(ghost_cap, (tuple, list, np.ndarray))
+            else (int(ghost_cap),) * n_layers)
+    if len(caps) != n_layers:
+        raise ValueError(f"ghost_cap sequence needs {n_layers} entries, "
+                         f"got {len(caps)}")
     model = GridGCNSegmentation(cfg=dataclasses.replace(
         cfg.model, layers=layers))
     specs = model.cfg.layers
 
-    def shard_fn(variables, sx, sm, edges, origin, extent, rng):
+    def shard_fn(variables, sx, sf, sm, edges, origin, extent, rng):
         d = jax.lax.axis_index(axis_name)
         lo, hi = edges[d], edges[d + 1]
 
@@ -203,7 +282,13 @@ def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap: int = 0,
             return (spec.context // 2 + 1) * jnp.max(vsize)
 
         overflow = jnp.zeros((), jnp.int32)
-        feat0 = sx if cfg.model.use_xyz_feature else None
+        # input features mirror the monolithic network's convention
+        # (segmentation.__call__: xyz prefixed when use_xyz_feature)
+        if C_in:
+            feat0 = (jnp.concatenate([sx, sf], -1)
+                     if cfg.model.use_xyz_feature else sf)
+        else:
+            feat0 = sx if cfg.model.use_xyz_feature else None
         # level state: (xyz [1,Ci,3], feat, valid, owned, send or None)
         levels = [(sx, feat0, sm[0], sm[0] & (sx[0, :, 0] >= lo)
                    & (sx[0, :, 0] < hi), None)]
@@ -227,7 +312,7 @@ def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap: int = 0,
             # specs[i].n_centers rows at this level, so a band can never
             # hold more — overflow is impossible unless the caller lowers
             # ghost_cap to trade ghost volume for speed.
-            H = ghost_cap or max(8, specs[i].n_centers)
+            H = caps[i] or max(8, specs[i].n_centers)
             g_xyz, g_feat, g_ok, send, dropped = exchange_boundary(
                 c_xyz[0], c_feat[0], own, lo, hi, width, H, axis_name)
             overflow = overflow + dropped
@@ -277,10 +362,17 @@ def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap: int = 0,
         out_specs = (P(axis_name), P(axis_name), P(axis_name))
     else:
         out_specs = (P(axis_name), P(axis_name))
+    if C_in:
+        fn = shard_fn
+        in_specs = (P(), P(axis_name), P(axis_name), P(axis_name),
+                    P(), P(), P(), P())
+    else:
+        def fn(variables, sx, sm, edges, origin, extent, rng):
+            return shard_fn(variables, sx, None, sm, edges, origin,
+                            extent, rng)
+        in_specs = (P(), P(axis_name), P(axis_name), P(), P(), P(), P())
     fwd = jax.shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(P(), P(axis_name), P(axis_name), P(), P(), P(), P()),
-        out_specs=out_specs,
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False)
     return jax.jit(fwd)
 
@@ -289,14 +381,16 @@ def resident_ml_seg_predict(cfg: Config, variables, xyz: np.ndarray,
                             mask: np.ndarray, mesh: Mesh,
                             capacity: Optional[int] = None,
                             rng: Optional[jax.Array] = None,
-                            ghost_cap: int = 0, fwd=None,
-                            votes: int = 1) -> np.ndarray:
+                            ghost_cap=0, fwd=None,
+                            votes: int = 1,
+                            feat: Optional[np.ndarray] = None) -> np.ndarray:
     """Whole-scene per-point logits with EVERY level sharded over the mesh.
     xyz [N, 3], mask [N] → logits [N, num_classes] (zeros for invalid).
     `capacity` = static per-shard point budget (default: auto-sized to the
     scene's max slab+halo occupancy — ~N/D, NOT N). `votes` > 1
     logit-averages that many CAGQ seeds; partitioning and parameter staging
-    happen once, not per vote."""
+    happen once, not per vote. `feat` [N, in_channels] is required when
+    cfg.model.in_channels > 0 (it rides the same partition as xyz)."""
     from gridgcn_tpu.parallel.spatial import suggest_capacity
 
     D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
@@ -318,13 +412,26 @@ def resident_ml_seg_predict(cfg: Config, variables, xyz: np.ndarray,
     rng = jax.random.PRNGKey(0) if rng is None else rng
     sh = NamedSharding(mesh, P(DATA_AXIS))
     variables = jax.device_put(variables, NamedSharding(mesh, P()))
-    sx, sm = jax.device_put(sx, sh), jax.device_put(sm, sh)
+    if cfg.model.in_channels:
+        if feat is None:
+            raise ValueError(
+                f"cfg.model.in_channels={cfg.model.in_channels} requires "
+                f"per-point feat [N, in_channels]")
+        # input-level features ride the same partition as xyz (sidx maps
+        # shard rows to original point indices; padded rows zero out)
+        sf = feat[sidx] * sm[..., None].astype(feat.dtype)
+        sx, sm = jax.device_put(sx, sh), jax.device_put(sm, sh)
+        pos_args = (sx, jax.device_put(sf, sh), sm)
+    else:
+        sx, sm = jax.device_put(sx, sh), jax.device_put(sm, sh)
+        pos_args = (sx, sm)
     edges_d, origin_d, extent_d = (jnp.asarray(edges), jnp.asarray(origin),
                                    jnp.asarray(extent))
     acc = None
     for v in range(votes):
         k = jax.random.fold_in(rng, v) if votes > 1 else rng
-        lg, overflow = fwd(variables, sx, sm, edges_d, origin_d, extent_d, k)
+        lg, overflow = fwd(variables, *pos_args, edges_d, origin_d,
+                           extent_d, k)
         acc = lg if acc is None else acc + lg
     # ghost selection depends only on geometry, so overflow is identical
     # across votes — the last fetch stands for all of them

@@ -53,13 +53,17 @@ def make_spatial_train_step(cfg: Config, mesh: Mesh, sched=None,
 
         def loss_fn(params):
             v = {"params": params, "batch_stats": state.batch_stats}
+            # in_channels > 0: per-point features ride right after sx
+            # (make_resident*_forward signature convention)
+            pos = ((batch["sx"], batch["sf"], batch["sm"])
+                   if cfg.model.in_channels else
+                   (batch["sx"], batch["sm"]))
             if tier == "resident":
-                logits, stats = fwd(v, batch["sx"], batch["sm"],
-                                    batch["edges"], batch["origin"],
-                                    batch["vsize"], key)
+                logits, stats = fwd(v, *pos, batch["edges"],
+                                    batch["origin"], batch["vsize"], key)
             else:
                 logits, _overflow, stats = fwd(
-                    v, batch["sx"], batch["sm"], batch["edges"],
+                    v, *pos, batch["edges"],
                     batch["origin"], batch["extent"], key)
             logits = logits.astype(jnp.float32)
             onehot = jax.nn.one_hot(batch["label"], num_classes,
@@ -94,10 +98,12 @@ def make_spatial_train_step(cfg: Config, mesh: Mesh, sched=None,
 
 
 def shard_scene_batch(cfg: Config, xyz: np.ndarray, labels: np.ndarray,
-                      mask: np.ndarray, mesh: Mesh, capacity: int) -> dict:
+                      mask: np.ndarray, mesh: Mesh, capacity: int,
+                      feat: Optional[np.ndarray] = None) -> dict:
     """Host-side: partition one scene into per-shard slabs + ghost strips
     and stage it on the mesh. Labels ride the same scatter as points;
-    ghost rows carry owned=False so they never contribute to the loss."""
+    ghost rows carry owned=False so they never contribute to the loss.
+    `feat` [N, in_channels] is required when cfg.model.in_channels > 0."""
     D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     res0 = cfg.model.layers[0].resolution
 
@@ -111,7 +117,16 @@ def shard_scene_batch(cfg: Config, xyz: np.ndarray, labels: np.ndarray,
     slab_labels = labels[sidx] * sm    # padded rows → label 0, owned=False
 
     sh = NamedSharding(mesh, P(DATA_AXIS))
+    extra = {}
+    if cfg.model.in_channels:
+        if feat is None:
+            raise ValueError(
+                f"cfg.model.in_channels={cfg.model.in_channels} requires "
+                f"per-point feat [N, in_channels]")
+        sf = feat[sidx] * sm[..., None].astype(feat.dtype)
+        extra["sf"] = jax.device_put(sf, sh)
     return {
+        **extra,
         "sx": jax.device_put(sx, sh),
         "sm": jax.device_put(sm, sh),
         "owned": jax.device_put(owned, sh),

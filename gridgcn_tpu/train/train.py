@@ -206,12 +206,14 @@ def train_spatial(cfg: Config, mesh_devices: int,
         for s_i in order:
             xyz = train_ds.points[s_i]
             labels = train_ds.labels[s_i]
+            feat = (train_ds.features[s_i]
+                    if train_ds.features is not None else None)
             try:
                 batch = shard_scene_batch(cfg, xyz, labels, mask_full,
-                                          mesh, capacity)
+                                          mesh, capacity, feat=feat)
             except ValueError:   # dense slab overflowed the capacity
                 batch = shard_scene_batch(cfg, xyz, labels, mask_full,
-                                          mesh, N)
+                                          mesh, N, feat=feat)
             state, m = step(state, batch, rng)
             losses.append(m["loss"])
             accs.append(m["acc"])

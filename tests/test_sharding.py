@@ -150,7 +150,89 @@ def test_comm_audit_accounting():
             c_dec = cfg.model.up_layers[n - 2 - i].mlp[-1]
             assert lvl_rec["refresh_bytes_per_dir"] == H * c_dec * 4
 
-    # projection: halo traffic is noise next to compute for this config
+    # GHOST-COMPUTE TAX (VERDICT r3 weak #2): the full-share default gives
+    # ghost rows = 2x owned rows at every level, and the model is anchored
+    # on the measured mesh=1 +31% point — so the default-cap tax IS 0.31
+    # and the honest tier-3 efficiency sits near 1/1.31, not at the 99.5%
+    # the r3 report claimed by pricing only the halo bytes
+    from gridgcn_tpu.parallel.comm_audit import (
+        GHOST_TAX_COEFF, ghost_compute_tax)
+
+    tax = r8["tier3"]["ghost_compute_tax"]
+    # ~2x, not exactly: the deepest level's H floors at 8 > its share of 4
+    assert abs(tax - 2 * GHOST_TAX_COEFF) < 0.01
+    assert tax == ghost_compute_tax(cfg, 8)
     proj = r8["projection"]
-    assert 0.9 < proj["tier3_inference_efficiency"] <= 1.0
+    assert 0.70 < proj["tier3_inference_efficiency"] < 0.80
     assert 0.0 < proj["tier3_train_efficiency"] <= 1.0
+    # halo traffic itself is still noise next to compute: the tax, not the
+    # bytes, is what calibration has to shrink
+    assert r8["tier3"]["time_ms"] < 0.02 * 1.5
+
+    # calibrated (smaller) caps shrink the tax and lift the projection
+    caps = tuple(max(8, l.n_centers // 8 // 4) for l in cfg.model.layers)
+    r8c = comm_report(cfg, 8, ghost_cap=caps, compute_ms_per_step=1.5)
+    assert r8c["tier3"]["ghost_compute_tax"] < tax / 2
+    assert (r8c["projection"]["tier3_inference_efficiency"]
+            > proj["tier3_inference_efficiency"])
+    assert r8c["projection"]["tier3_inference_efficiency"] > 0.9
+    # and the per-level H in the report reflects the sequence
+    hc = {l["level"]: l["H"] for l in r8c["tier3"]["levels"]}
+    for lvl, c in enumerate(caps):
+        assert hc[lvl] == c
+
+
+def test_calibrate_ghost_cap_fits_and_shrinks():
+    """`calibrate_ghost_cap` (VERDICT r3 #3): data-driven per-level ghost
+    buffers produce ZERO overflow in the real tier-3 forward while staying
+    well under the full-share default on a spread-out scene."""
+    import warnings
+
+    from gridgcn_tpu.configs import presets
+    from gridgcn_tpu.models.build import init_model
+    from gridgcn_tpu.parallel.mesh import make_mesh
+    from gridgcn_tpu.parallel.resident_ml import (
+        calibrate_ghost_cap, make_resident_ml_forward,
+        resident_ml_seg_predict)
+
+    import dataclasses
+
+    # grids fine enough that a band (2 next-level voxels) is a small slab
+    # fraction — the regime tier 3 is built for (slabs >> coarse voxels);
+    # synthetic_tiny_seg's res-4 grid has bands wider than a slab, where
+    # calibration CORRECTLY returns the full share
+    base = presets.get("synthetic_tiny_seg")
+    cfg = dataclasses.replace(base, model=dataclasses.replace(
+        base.model,
+        layers=(dataclasses.replace(base.model.layers[0], resolution=64,
+                                    n_centers=512),
+                dataclasses.replace(base.model.layers[1], resolution=32,
+                                    n_centers=128)),
+        up_layers=(dataclasses.replace(base.model.up_layers[0],
+                                       resolution=32),
+                   dataclasses.replace(base.model.up_layers[1],
+                                       resolution=64))))
+    D = 4
+    rng = np.random.default_rng(11)
+    N = 8192
+    xyz = rng.uniform(0, 8, size=(N, 3)).astype(np.float32)
+    mask = np.ones(N, bool)
+
+    caps = calibrate_ghost_cap(cfg, xyz, mask, D)
+    shares = [max(1, l.n_centers // D) for l in cfg.model.layers]
+    assert len(caps) == len(cfg.model.layers)
+    assert all(8 <= c <= max(8, s) for c, s in zip(caps, shares))
+    # a ~uniform scene's boundary bands hold a small fraction of each slab:
+    # at least one level must calibrate BELOW its full share, else the
+    # function never shrinks anything
+    assert any(c < s for c, s in zip(caps, shares) if s > 8)
+
+    _, variables = init_model(cfg)
+    mesh = make_mesh(D)
+    fwd = make_resident_ml_forward(cfg, mesh, ghost_cap=caps)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # overflow warns
+        logits = resident_ml_seg_predict(
+            cfg, variables, xyz, mask, mesh, ghost_cap=caps, fwd=fwd)
+    assert logits.shape == (N, cfg.model.num_classes)
+    assert np.isfinite(logits).all()
