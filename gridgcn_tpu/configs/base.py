@@ -127,6 +127,11 @@ class ModelConfig:
     # ("" = follow `dtype`); f32 here keeps the interpolation accumulation
     # exact while features still flow bf16 into the up-MLPs.
     interp_dtype: str = ""
+    # compute dtype of every BatchNorm ("" = follow `dtype`). f32 with
+    # dtype=bfloat16 gives "bf16 matmuls only": Dense runs bf16, BN
+    # normalization/affine and the relu after it run f32 (batch statistics
+    # are f32 either way — flax computes and stores them in f32).
+    bn_dtype: str = ""
     # inference-only compute dtype ("" = same as dtype). Consumed by
     # models.fold.fold_inference, i.e. every inference surface that folds
     # (serving Predictor, AOT export, bench): presets that TRAIN in f32 can

@@ -147,32 +147,39 @@ def scannet_seg() -> Config:
         name="scannet_seg",
         model=ModelConfig(task="seg", num_classes=21, in_channels=0,
                           layers=layers, up_layers=up_layers, head=(128,),
-                          dropout=0.5, ignore_label=0),
+                          dropout=0.5, ignore_label=0,
+                          # DEFAULT fast training path (VERDICT r3 #1):
+                          # bf16 matmuls with the BatchNorm island in f32.
+                          # The round-3 blanket-bf16 quality cost (~0.015
+                          # mIoU) localizes ENTIRELY to BN compute —
+                          # paired 12-epoch synthetic_scene_seg runs
+                          # (seeds 0-2, scripts/study_selective_precision
+                          # .py): f32 .8128/.8098/.8139 vs bf16+bn32
+                          # .8144/.8095/.8132 (max delta .0016 <= .005)
+                          # at 31.37 vs 34.13 ms/step (-8%). att/interp
+                          # f32 islands were measured NOT to recover the
+                          # gap (recorded negative, design.md §10).
+                          dtype="bfloat16", bn_dtype="float32"),
         data=DataConfig(dataset="scannet", num_points=8192, batch_size=8),
         train=TrainConfig(epochs=200, lr=1e-3),
     )
 
 
 def scannet_seg_bf16() -> Config:
-    """`scannet_seg` with bf16 dense compute for TRAINING (VERDICT r2 #7).
+    """`scannet_seg` with BLANKET bf16 compute — BatchNorm included.
 
-    Measured on the real chip (scripts/study_train_leads.py, 30 iters):
-    34.05 -> 31.72 ms/step (-7%). Params/optimizer state stay f32 (flax
-    param_dtype default); only the GCA/decoder matmul compute runs bf16 —
-    TPU-native mixed precision, no loss scaling needed (bf16 keeps f32's
-    exponent range).
-
-    OPT-IN, not the default: paired 12-epoch synthetic_scene_seg runs
-    (seeds 0-2) measure a consistent held-out cost of ~0.015 mIoU
-    (f32 0.810/0.814/0.813 vs bf16 0.792/0.799/0.799 — BASELINE.md
-    round-3 notes). Use when step time matters more than the last
-    ~1.5 mIoU points, or as the starting point for bf16-with-f32-finish
-    schedules; `scannet_seg` stays f32.
+    Historical artifact of the precision studies, kept so the measured
+    trade stays reproducible: blanket bf16 costs ~0.015 held-out mIoU
+    (r3 paired runs) and the round-4 bisection localized that cost to BN
+    compute — `scannet_seg` now defaults to bf16 matmuls + f32 BN, which
+    is BOTH faster (31.37 vs 31.73 ms/step) and quality-neutral. Prefer
+    the default; this preset only buys ~1% step time for ~1.5 mIoU.
     """
     base = scannet_seg()
     return dataclasses.replace(
         base, name="scannet_seg_bf16",
-        model=dataclasses.replace(base.model, dtype="bfloat16"))
+        model=dataclasses.replace(base.model, dtype="bfloat16",
+                                  bn_dtype=""))
 
 
 def scannet_whole_scene() -> Config:

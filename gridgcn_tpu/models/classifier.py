@@ -37,10 +37,12 @@ class GridGCNClassifier(nn.Module):
         conv_cls = nn.remat(GridConv, static_argnums=(4,)) if cfg.remat \
             else GridConv
         adt = jnp.dtype(cfg.att_dtype) if cfg.att_dtype else None
+        bdt = jnp.dtype(cfg.bn_dtype) if cfg.bn_dtype else dtype
         for i, spec in enumerate(cfg.layers):
             xyz, feat, mask = conv_cls(
                 spec, dtype=dtype, bn_momentum=cfg.bn_momentum,
                 fold_bn=cfg.fold_bn, att_dtype=adt,
+                bn_dtype=(None if cfg.bn_dtype == "" else bdt),
                 feat_has_xyz_prefix=(i == 0 and cfg.use_xyz_feature),
                 name=f"gridconv{i}")(xyz, feat, mask, train)
 
@@ -52,7 +54,7 @@ class GridGCNClassifier(nn.Module):
             x = nn.Dense(w, dtype=dtype, name=f"head_dense{hi}")(x)
             if not cfg.fold_bn:
                 x = nn.BatchNorm(use_running_average=not train,
-                                 momentum=cfg.bn_momentum, dtype=dtype,
+                                 momentum=cfg.bn_momentum, dtype=bdt,
                                  name=f"head_bn{hi}")(x)
             x = nn.relu(x)
             if cfg.dropout > 0:

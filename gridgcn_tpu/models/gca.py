@@ -38,13 +38,17 @@ class GCA(nn.Module):
     # MLP + softmax. None = follow `dtype` (the single-dtype path, bit-
     # identical to the pre-knob module).
     att_dtype: jnp.dtype = None
+    # selective mixed precision (ModelConfig.bn_dtype): BatchNorm compute
+    # dtype. None = follow `dtype`.
+    bn_dtype: jnp.dtype = None
 
     def _mlp(self, x, widths, mask, train: bool, name: str):
+        bdt = self.dtype if self.bn_dtype is None else self.bn_dtype
         for li, w in enumerate(widths):
             x = nn.Dense(w, dtype=self.dtype, name=f"{name}_dense{li}")(x)
             if not self.fold_bn:
                 x = nn.BatchNorm(use_running_average=not train,
-                                 momentum=self.bn_momentum, dtype=self.dtype,
+                                 momentum=self.bn_momentum, dtype=bdt,
                                  name=f"{name}_bn{li}")(x)
             x = nn.relu(x)
             x = jnp.where(mask[..., None], x, 0.0)

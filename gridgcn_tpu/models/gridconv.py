@@ -32,9 +32,10 @@ class GridConv(nn.Module):
     bn_momentum: float = 0.9
     # inference-only: BN already folded into the Dense weights (models.fold)
     fold_bn: bool = False
-    # selective mixed precision: attention-path dtype (ModelConfig.att_dtype;
-    # None = follow dtype)
+    # selective mixed precision: attention-path / BatchNorm dtypes
+    # (ModelConfig.att_dtype / bn_dtype; None = follow dtype)
     att_dtype: jnp.dtype = None
+    bn_dtype: jnp.dtype = None
     # Set by the parent network on the INPUT layer when use_xyz_feature put
     # raw xyz in feat[..., :3]: those channels are then read from the
     # already-gathered g.node_xyz instead of a second [M·K]-row gather over
@@ -115,7 +116,7 @@ class GridConv(nn.Module):
         center_feat = GCA(self.spec, dtype=self.dtype,
                           bn_momentum=self.bn_momentum,
                           fold_bn=self.fold_bn, att_dtype=self.att_dtype,
-                          name="gca")(
+                          bn_dtype=self.bn_dtype, name="gca")(
             node_feat, delta_p, g.neighbor_mask, g.node_coverage,
             train=train, ctx_feat=ctx_feat)
         return g.center_xyz, center_feat, g.center_valid

@@ -46,9 +46,11 @@ class GridGCNSegmentation(nn.Module):
         conv_cls = nn.remat(GridConv, static_argnums=(4,)) if cfg.remat \
             else GridConv
         adt = jnp.dtype(cfg.att_dtype) if cfg.att_dtype else None
+        bdt = jnp.dtype(cfg.bn_dtype) if cfg.bn_dtype else dtype
         self._convs = [
             conv_cls(spec, dtype=dtype, bn_momentum=cfg.bn_momentum,
                      fold_bn=cfg.fold_bn, att_dtype=adt,
+                     bn_dtype=(None if cfg.bn_dtype == "" else bdt),
                      feat_has_xyz_prefix=(i == 0 and cfg.use_xyz_feature),
                      name=f"gridconv{i}")
             for i, spec in enumerate(cfg.layers)]
@@ -57,7 +59,7 @@ class GridGCNSegmentation(nn.Module):
              for li, w in enumerate(up.mlp)]
             for i, up in enumerate(cfg.up_layers)]
         self._up_bn = [
-            [nn.BatchNorm(momentum=cfg.bn_momentum, dtype=dtype,
+            [nn.BatchNorm(momentum=cfg.bn_momentum, dtype=bdt,
                           name=f"up{i}_bn{li}")
              for li in range(len(up.mlp))]
             for i, up in enumerate(cfg.up_layers)]
@@ -65,7 +67,7 @@ class GridGCNSegmentation(nn.Module):
             nn.Dense(w, dtype=dtype, name=f"head_dense{hi}")
             for hi, w in enumerate(cfg.head)]
         self._head_bn = [
-            nn.BatchNorm(momentum=cfg.bn_momentum, dtype=dtype,
+            nn.BatchNorm(momentum=cfg.bn_momentum, dtype=bdt,
                          name=f"head_bn{hi}")
             for hi in range(len(cfg.head))]
         self._dropout = nn.Dropout(cfg.dropout)

@@ -44,6 +44,14 @@ def make_variant(base, name):
     elif name == "bf16_att32_interp32":
         m = dataclasses.replace(m, dtype="bfloat16", att_dtype="float32",
                                 interp_dtype="float32")
+    elif name == "bf16_bn32":
+        m = dataclasses.replace(m, dtype="bfloat16", bn_dtype="float32")
+    elif name == "bf16_matmul_only":
+        # only the Dense matmuls run bf16: BN/relu, attention path, and
+        # the interpolation accumulation all stay f32
+        m = dataclasses.replace(m, dtype="bfloat16", att_dtype="float32",
+                                interp_dtype="float32",
+                                bn_dtype="float32")
     else:
         raise ValueError(f"unknown variant {name}")
     return dataclasses.replace(
