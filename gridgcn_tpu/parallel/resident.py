@@ -74,7 +74,8 @@ def _merge_stats(dst: dict, src: dict) -> dict:
 
 
 def make_resident_forward(cfg: Config, mesh: Mesh,
-                          axis_name: str = DATA_AXIS, train: bool = False):
+                          axis_name: str = DATA_AXIS, train: bool = False,
+                          _corrupt_gather: bool = False):
     """Build the jitted sharded forward.
 
     Returns fwd(variables, shard_xyz [D,cap,3], shard_mask [D,cap],
@@ -90,6 +91,12 @@ def make_resident_forward(cfg: Config, mesh: Mesh,
     pmean'd over the mesh (the standard cross-replica BN approximation, as
     in data parallelism) and returned replicated, enabling fully-resident
     spatially-sharded TRAINING (SURVEY §2.4 F-22).
+
+    `_corrupt_gather` (tests only): rolls the assembled layer-1 FEATURE
+    rows one position after the all_gather while positions stay put —
+    emulating a mis-assembled level. The trained equivalence gates must
+    FAIL under it (mutation sensitivity, SURVEY §4.2 #5); never set it
+    outside tests.
     """
     if cfg.model.task != "seg":
         raise ValueError("resident forward is for segmentation models")
@@ -149,6 +156,8 @@ def make_resident_forward(cfg: Config, mesh: Mesh,
         g_xyz = jax.lax.all_gather(c_xyz[0], axis_name, tiled=True)[None]
         g_feat = jax.lax.all_gather(c_feat[0], axis_name, tiled=True)[None]
         g_valid = jax.lax.all_gather(c_valid, axis_name, tiled=True)[None]
+        if _corrupt_gather:   # tests only: mis-assembled level mutation
+            g_feat = jnp.roll(g_feat, 1, axis=1)
 
         # ---- coarse pyramid: replicated ----
         levels = [(g_xyz, g_feat, g_valid)]
@@ -211,7 +220,8 @@ def resident_seg_predict(cfg: Config, variables, xyz: np.ndarray,
                          capacity: Optional[int] = None,
                          rng: Optional[jax.Array] = None,
                          fwd=None, votes: int = 1,
-                         feat: Optional[np.ndarray] = None) -> np.ndarray:
+                         feat: Optional[np.ndarray] = None,
+                         halo: Optional[float] = None) -> np.ndarray:
     """Whole-scene per-point logits with the dense level sharded over the
     mesh. xyz [N, 3], mask [N] → logits [N, num_classes] (zeros for invalid
     points). Pass a prebuilt `fwd` (make_resident_forward) to reuse the
@@ -230,7 +240,9 @@ def resident_seg_predict(cfg: Config, variables, xyz: np.ndarray,
     origin = np.asarray(origin)[0]
     vsize = np.asarray(vsize)[0]
 
-    halo = resident_halo(cfg, vsize)
+    # `halo` override: experimentation/mutation-testing hook (the default
+    # is the finest grid's context reach, the protocol's requirement)
+    halo = resident_halo(cfg, vsize) if halo is None else halo
     if capacity is None:
         capacity = suggest_capacity(xyz, mask, D, halo)
     sx, sm, owned, sidx, edges = partition_scene(

@@ -890,3 +890,214 @@ def test_resident_predict_requires_feat_when_configured():
     with pytest.raises(ValueError, match="in_channels"):
         resident_ml_seg_predict(cfg, variables, xyz, np.ones(1024, bool),
                                 mesh)
+
+
+# ---------------------------------------------------------------------------
+# Context-dependent equivalence task (VERDICT r3 #4, SURVEY §4.2 #5)
+#
+# The quadrant task above is decidable from per-point xyz, so a tier-1
+# halo truncation or a tier-2 assembly corruption that destroys boundary
+# CONTEXT leaves its outputs unchanged (recorded negative above). This
+# task removes that blind spot: labels are LOCAL DENSITY classes —
+# background (0), sparse blob (1), dense blob (2) — with blob centers
+# random per scene, so a point's class is decidable ONLY from its
+# neighborhood within ~one context reach. Mutations that corrupt boundary
+# context must now flip the gates, and the tests below prove they do.
+# ---------------------------------------------------------------------------
+
+DENSE_BLOB, SPARSE_BLOB = 192, 24
+BLOB_SIGMA = 0.05
+# ONE scale for training and eval scenes: local density is the label
+# signal, and blob-internal density is fixed by (BLOB_SIGMA, points/blob)
+# while background density scales with n over the fixed domain — scenes of
+# different n are therefore DIFFERENT tasks (measured: a model trained at
+# n=2048 scores 0.40 on an n=16384 scene vs 0.67 in-distribution)
+DENSITY_N = 4096
+
+
+def _density_scene(rng_np, n):
+    """~half blob points in Gaussian clusters of two sharply different
+    densities (192 vs 24 points at the same sigma — per-voxel coverage
+    ~6x apart), rest uniform background. Returns (xyz [n,3], labels [n])
+    shuffled."""
+    parts, labels = [], []
+    for pts, lab in ((DENSE_BLOB, 2), (SPARSE_BLOB, 1)):
+        count = max(1, n // 4 // pts)
+        centers = rng_np.uniform((-0.8, -0.9, -0.9), (1.0, 0.9, 0.9),
+                                 size=(count, 3))
+        blob = (centers[:, None, :] + BLOB_SIGMA
+                * rng_np.standard_normal((count, pts, 3))).reshape(-1, 3)
+        parts.append(blob)
+        labels.append(np.full(len(blob), lab, np.int32))
+    nb = sum(len(p) for p in parts)
+    parts.append(rng_np.uniform((-0.9, -1, -1), (1.1, 1, 1),
+                                size=(n - nb, 3)))
+    labels.append(np.zeros(n - nb, np.int32))
+    xyz = np.concatenate(parts).astype(np.float32)
+    labels = np.concatenate(labels)
+    perm = rng_np.permutation(n)
+    return xyz[perm], labels[perm]
+
+
+@pytest.fixture(scope="module")
+def trained_density_seg_setup():
+    import dataclasses
+
+    from gridgcn_tpu.parallel.spatial import _slab_edges
+    from gridgcn_tpu.train.steps import create_train_state, make_train_step
+
+    base = _scene_cfg()
+    # denser center sampling than the quadrant config: per-point density
+    # classification needs decoder resolution (1 layer-1 center per ~4
+    # points, like the original _scene_cfg ratio at its native N)
+    layers = (dataclasses.replace(base.model.layers[0], n_centers=1024),
+              dataclasses.replace(base.model.layers[1], n_centers=256))
+    cfg = dataclasses.replace(
+        base,
+        model=dataclasses.replace(base.model, layers=layers),
+        data=dataclasses.replace(base.data, num_points=DENSITY_N,
+                                 batch_size=2))
+    model, variables = init_model(cfg)
+    rng_np = np.random.default_rng(17)
+    S, Np = 12, DENSITY_N
+    scenes = [_density_scene(rng_np, Np) for _ in range(S)]
+    state = create_train_state(cfg, model, variables, S // 2)
+    step = make_train_step(cfg, model, donate=False)
+    rng = jax.random.PRNGKey(0)
+    for epoch in range(10):
+        for b in range(0, S, cfg.data.batch_size):
+            chunk = scenes[b: b + cfg.data.batch_size]
+            batch = {
+                "xyz": jnp.asarray(np.stack([c[0] for c in chunk])),
+                "label": jnp.asarray(np.stack([c[1] for c in chunk])),
+                "mask": jnp.ones((len(chunk), Np), bool),
+            }
+            state, m = step(state, batch, rng)
+    assert float(m["acc"]) > 0.65, (
+        f"density-task model failed to train: acc={float(m['acc'])}")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    xyz, labels = _density_scene(np.random.default_rng(23), DENSITY_N)
+    mask = np.ones(DENSITY_N, bool)
+
+    edges = _slab_edges(xyz[:, 0], SCENE_SHARDS)
+    extent = float(xyz[:, 0].max() - xyz[:, 0].min())
+    reach0 = ((cfg.model.layers[0].context // 2 + 1)
+              * extent / cfg.model.layers[0].resolution)
+    interior = np.asarray(edges[1:-1], np.float32)
+    band = (np.abs(xyz[:, 0:1] - interior[None, :]) < reach0).any(axis=1)
+
+    fwd = jax.jit(lambda x, m, k: model.apply(
+        variables, x, None, m, train=False, rngs={"cagq": k}))
+
+    def votes_fn(seed0, votes=4):
+        acc = None
+        for v in range(votes):
+            lg = np.asarray(fwd(xyz[None], mask[None],
+                                jax.random.PRNGKey(seed0 + v)))[0]
+            acc = lg if acc is None else acc + lg
+        return acc
+
+    ref, ref2 = votes_fn(0), votes_fn(1000)
+    rp, rp2 = ref.argmax(-1), ref2.argmax(-1)
+    ref_acc = float(np.mean(rp == labels))
+    # per-point density classification has irreducible ambiguity at blob
+    # fringes (a blob-edge point's neighborhood IS background-sparse);
+    # measured 0.57 here (train 0.69) vs 0.52 majority class. The
+    # equivalence gates are AGREEMENT-relative, so absolute accuracy only
+    # anchors the ±slack check — what matters is that predictions depend
+    # on neighborhood context, which the mutation flips below prove.
+    assert ref_acc > 0.5, f"single-device density acc only {ref_acc}"
+    return dict(cfg=cfg, variables=variables, xyz=xyz, labels=labels,
+                mask=mask, ref=ref,
+                self_agree=float(np.mean(rp == rp2)),
+                band_self_agree=float(np.mean(rp[band] == rp2[band])),
+                band_self_dist=float(np.linalg.norm((ref2 - ref)[band])
+                                     / (np.linalg.norm(ref[band]) + 1e-9)),
+                ref_acc=ref_acc, band=band, edges=edges)
+
+
+def test_tier1_density_equivalence_and_halo_mutation(trained_density_seg_setup):
+    """On the context-decided task, tier 1 with the required halo passes
+    the gates AND a truncated halo now FAILS them — the sensitivity proof
+    the quadrant task could not provide (its recorded negative above)."""
+    from gridgcn_tpu.parallel.spatial import required_halo
+
+    s = trained_density_seg_setup
+    halo = required_halo(s["cfg"], float(np.ptp(s["xyz"], axis=0).max()))
+    acc = _tier1_votes(s, halo, _tier1_capacity(s, halo), votes=4)
+    _check_equiv("tier1-density", acc, s)
+
+    bad_halo = halo / 50
+    acc_bad = _tier1_votes(s, bad_halo, _tier1_capacity(s, halo), votes=4,
+                           seed0=2000)
+    _, band_agree, band_dist, _ = _equiv_report(acc_bad, s)
+    dist_ceil = 1.5 * s["band_self_dist"]
+    # measured separation: truncated 1.85x self vs healthy 1.37x against
+    # the 1.5x ceiling — the gate the quadrant task could never flip
+    assert band_dist > dist_ceil, (
+        f"truncated tier-1 halo passed the band logit-distance gate "
+        f"({band_dist:.4f} <= {dist_ceil:.4f}) on the density task — "
+        f"the tier-1 contract is still toothless")
+    assert band_agree < s["band_self_agree"] - 0.01, (
+        f"truncated halo did not move band agreement "
+        f"({band_agree:.4f} vs self {s['band_self_agree']:.4f})")
+
+
+def test_tier2_density_equivalence_and_mutations(trained_density_seg_setup):
+    """Tier 2 passes on the context-decided task, and a mis-assembled
+    all_gather (feature rows rolled off their positions) flips the gate —
+    measured at 4.8x the self-distance / 0.67 agreement vs 0.98 self.
+
+    Recorded negative (mirrors the tier-1 quadrant negative above):
+    starving the tier-2 INPUT halo (halo=1e-3) does NOT move outputs even
+    on this context-decided task (band dist 0.96x self) — tier 2's
+    boundary context flows through the all_gathered coarse pyramid, which
+    a thin input halo cannot corrupt; only layer-0's K-neighbor gathers
+    near faces degrade, below this model's noise floor. The contract that
+    has teeth for assembly bugs is the corrupt-gather mutation below."""
+    from gridgcn_tpu.parallel.resident import (
+        make_resident_forward, resident_seg_predict)
+
+    s = trained_density_seg_setup
+    cfg, xyz, mask = s["cfg"], s["xyz"], s["mask"]
+    mesh = make_mesh(SCENE_SHARDS)
+
+    def votes_of(fwd, votes=4):
+        acc = None
+        for v in range(votes):
+            lg = resident_seg_predict(cfg, s["variables"], xyz, mask, mesh,
+                                      rng=jax.random.PRNGKey(3000 + v),
+                                      fwd=fwd)
+            acc = lg if acc is None else acc + lg
+        return acc
+
+    _check_equiv("tier2-density", votes_of(make_resident_forward(cfg, mesh)),
+                 s)
+
+    # mutation: mis-assembled gather — features roll off their centers
+    acc_g = votes_of(make_resident_forward(cfg, mesh, _corrupt_gather=True))
+    agree, _, band_dist, _ = _equiv_report(acc_g, s)
+    assert agree < s["self_agree"] - 0.05, (
+        f"corrupt-gather tier 2 passed the agreement gate ({agree:.4f} vs "
+        f"floor {s['self_agree'] - 0.05:.4f})")
+    assert band_dist > 1.5 * s["band_self_dist"]
+
+
+def test_tier3_density_equivalence(trained_density_seg_setup):
+    """Tier 3 also holds on the context-decided task (its own mutation
+    proof — ghost starvation — lives above)."""
+    from gridgcn_tpu.parallel.resident_ml import (
+        make_resident_ml_forward, resident_ml_seg_predict)
+
+    s = trained_density_seg_setup
+    mesh = make_mesh(SCENE_SHARDS)
+    fwd = make_resident_ml_forward(s["cfg"], mesh)
+    acc = None
+    for v in range(4):
+        lg = resident_ml_seg_predict(s["cfg"], s["variables"], s["xyz"],
+                                     s["mask"], mesh,
+                                     rng=jax.random.PRNGKey(4000 + v),
+                                     fwd=fwd)
+        acc = lg if acc is None else acc + lg
+    _check_equiv("tier3-density", acc, s)
