@@ -31,27 +31,54 @@ from gridgcn_tpu.utils.checkpoint import CheckpointManager
 from gridgcn_tpu.utils.logging import MetricLogger
 
 
-def _log_capacity(log: MetricLogger, cfg: Config, ds) -> None:
+def _log_capacity(log: MetricLogger, cfg: Config, ds,
+                  auto_capacity: str = "off") -> Config:
     """One-time layer-0 capacity audit on the mounted training data (real
     datasets have different occupancy skew than the synthetic presets were
     sized on); warns loudly when the configured nv over-drops (VERDICT r2
-    next-round #9)."""
+    next-round #9).
+
+    `auto_capacity` closes the loop (VERDICT r3 #8): 'propose' logs the
+    smallest (nv, resolution) bump that fits the budget (the design.md §12
+    sweep justifies nv bumps as accuracy-neutral); 'apply' additionally
+    returns the updated config — real-data onboarding stays one command.
+    Returns the (possibly updated) config either way."""
     from gridgcn_tpu.utils.debug import audit_layer0_capacity
 
     report = audit_layer0_capacity(cfg, ds.points)
     log.log("capacity", **report)
-    if report["over_budget"]:
-        import warnings
-        warnings.warn(
-            f"layer-0 voxel table drops {report['dropped_frac']:.1%} of "
-            f"points on this dataset (> {report['budget']:.0%} budget); "
-            f"raise layers[0].nv (={report['nv']}) or resolution "
-            f"(={report['resolution']}) — see design.md §12 for the "
-            f"accuracy/latency trade", RuntimeWarning, stacklevel=2)
+    if not report["over_budget"]:
+        return cfg
+    if auto_capacity in ("propose", "apply"):
+        import dataclasses
+
+        from gridgcn_tpu.utils.debug import propose_layer0_capacity
+
+        prop = propose_layer0_capacity(cfg, ds.points,
+                                       budget=report["budget"])
+        log.log("capacity_proposal",
+                applied=(auto_capacity == "apply" and prop["within_budget"]),
+                **prop)
+        if auto_capacity == "apply" and prop["within_budget"]:
+            l0 = dataclasses.replace(cfg.model.layers[0], nv=prop["nv"],
+                                     resolution=prop["resolution"])
+            return dataclasses.replace(
+                cfg, model=dataclasses.replace(
+                    cfg.model, layers=(l0,) + cfg.model.layers[1:]))
+        return cfg
+    import warnings
+    warnings.warn(
+        f"layer-0 voxel table drops {report['dropped_frac']:.1%} of "
+        f"points on this dataset (> {report['budget']:.0%} budget); "
+        f"raise layers[0].nv (={report['nv']}) or resolution "
+        f"(={report['resolution']}) — see design.md §12 for the "
+        f"accuracy/latency trade, or rerun with --auto-capacity apply",
+        RuntimeWarning, stacklevel=2)
+    return cfg
 
 
 def train(cfg: Config, mesh_devices: int = 0, log_path: str | None = None,
-          tensorboard_dir: str | None = None):
+          tensorboard_dir: str | None = None, auto_capacity: str = "off"):
     log = MetricLogger(log_path, tensorboard_dir=tensorboard_dir)
     log.log("config", name=cfg.name, config=to_json(cfg))
 
@@ -61,7 +88,7 @@ def train(cfg: Config, mesh_devices: int = 0, log_path: str | None = None,
                           cfg.model.task)
     steps_per_epoch = (cfg.train.steps_per_epoch
                        or train_ds.steps_per_epoch(cfg.data.batch_size))
-    _log_capacity(log, cfg, train_ds)
+    cfg = _log_capacity(log, cfg, train_ds, auto_capacity)
 
     model, variables = init_model(cfg, seed=cfg.train.seed)
     state = create_train_state(cfg, model, variables, steps_per_epoch)
@@ -252,6 +279,12 @@ def main(argv=None):
                         "partitioned across the mesh (F-22)")
     p.add_argument("--spatial-capacity", type=int, default=0,
                    help="per-shard point capacity (0 = auto)")
+    p.add_argument("--auto-capacity", choices=["off", "propose", "apply"],
+                   default="off",
+                   help="step-0 layer-0 capacity audit action when the "
+                        "dropped-point budget is exceeded: 'propose' logs "
+                        "the smallest (nv, resolution) bump that fits, "
+                        "'apply' trains with it (design.md §12)")
     p.add_argument("--log", default=None, help="JSONL metrics file")
     p.add_argument("--tensorboard", default=None, metavar="DIR",
                    help="also write metric scalars as TensorBoard events")
@@ -272,7 +305,8 @@ def main(argv=None):
                       tensorboard_dir=args.tensorboard)
     else:
         train(cfg, mesh_devices=args.mesh, log_path=args.log,
-              tensorboard_dir=args.tensorboard)
+              tensorboard_dir=args.tensorboard,
+              auto_capacity=args.auto_capacity)
 
 
 if __name__ == "__main__":

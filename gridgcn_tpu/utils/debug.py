@@ -68,6 +68,49 @@ def audit_layer0_capacity(cfg, points, budget: float = 0.05,
     }
 
 
+def propose_layer0_capacity(cfg, points, budget: float = 0.05,
+                            max_clouds: int = 8) -> dict:
+    """Smallest layer-0 capacity bump that brings the dropped-point
+    fraction within budget (VERDICT r3 #8, SURVEY §7 H1).
+
+    Search mirrors the design.md §12 sweep, cheapest lever first: nv
+    doubles from the configured value up to 64 (the sweep measured nv
+    bumps accuracy-neutral at ~+0.6 ms/scene per 4 slots); if even nv=64
+    over-drops, the resolution doubles once with the configured nv
+    (finer grid = fewer points per voxel; §12 measured the accuracy cost
+    of coarser grids, not finer). Returns the proposal + every point
+    audited so the caller can log the evidence."""
+    from gridgcn_tpu.ops.voxelize import build_voxel_table, capacity_stats
+
+    spec = cfg.model.layers[0]
+    pts = jnp.asarray(points[:max_clouds])
+    mask = jnp.ones(pts.shape[:2], bool)
+
+    def frac(res, nv):
+        table = build_voxel_table(pts, mask, res, nv, jax.random.PRNGKey(0))
+        return float(jnp.max(capacity_stats(table)["dropped_frac"]))
+
+    tried = []
+
+    def audit(res, nv):
+        f = frac(res, nv)
+        tried.append({"resolution": res, "nv": nv,
+                      "dropped_frac": round(f, 5)})
+        return f
+
+    res, nv = spec.resolution, spec.nv
+    f = audit(res, nv)
+    while f > budget and nv < 64:
+        nv = min(2 * nv, 64)
+        f = audit(res, nv)
+    if f > budget:
+        res, nv = 2 * spec.resolution, spec.nv
+        f = audit(res, nv)
+    return {"nv": nv, "resolution": res, "dropped_frac": round(f, 5),
+            "budget": budget, "within_budget": f <= budget,
+            "tried": tried}
+
+
 @contextlib.contextmanager
 def debug_mode():
     """NaN debugging for a scope: `with debug_mode(): train_step(...)`.

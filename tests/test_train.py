@@ -82,6 +82,46 @@ def test_capacity_audit_flags_undersized_nv():
     assert not ok["over_budget"]
 
 
+def test_auto_capacity_proposes_and_applies(tmp_path):
+    """--auto-capacity (VERDICT r3 #8): on an over-dropping config the
+    trainer logs the smallest §12-justified (nv, resolution) bump and,
+    in 'apply' mode, trains with it — one-command real-data onboarding."""
+    import dataclasses
+    import json
+
+    from gridgcn_tpu.configs.base import apply_overrides
+    from gridgcn_tpu.train.train import train
+    from gridgcn_tpu.utils.debug import propose_layer0_capacity
+
+    # synthetic surface scenes have skewed occupancy; nv=1 over-drops
+    base = presets.get("synthetic_scene_seg")
+    l0 = dataclasses.replace(base.model.layers[0], nv=1)
+    cfg = dataclasses.replace(base, model=dataclasses.replace(
+        base.model, layers=(l0,) + base.model.layers[1:]))
+    cfg = apply_overrides(cfg, {
+        "train.epochs": 1, "train.eval_every": 0,
+        "train.ckpt_every": 0, "data.synthetic_size": 8,
+        "train.ckpt_dir": str(tmp_path / "ck"),
+    })
+
+    # the proposal alone: monotone search lands within budget, nv > 1
+    from gridgcn_tpu.data.pipeline import make_dataset
+    ds = make_dataset(cfg.data, "train", cfg.model.num_classes, "seg")
+    prop = propose_layer0_capacity(cfg, ds.points)
+    assert prop["within_budget"] and prop["nv"] > 1
+    assert prop["tried"][0]["dropped_frac"] > prop["budget"]
+
+    log = tmp_path / "auto.jsonl"
+    train(cfg, log_path=str(log), auto_capacity="apply")
+    recs = [json.loads(l) for l in open(log)]
+    audit = [r for r in recs if r.get("kind") == "capacity"]
+    proposal = [r for r in recs if r.get("kind") == "capacity_proposal"]
+    assert audit and audit[0]["over_budget"]
+    assert proposal and proposal[0]["applied"]
+    assert proposal[0]["nv"] == prop["nv"]
+    assert any(r.get("kind") == "epoch" for r in recs)
+
+
 def test_checkpoint_roundtrip(tmp_path, tiny_setup):
     cfg, model, ds, state = tiny_setup
     cfg = apply_overrides(cfg, {"train.ckpt_dir": str(tmp_path / "ck")})
