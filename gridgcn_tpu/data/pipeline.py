@@ -116,7 +116,29 @@ def make_dataset(cfg: DataConfig, split: str, num_classes: int,
             for i in range(n)]
         pts = np.stack([p for p, _ in out])
         labels = np.stack([l for _, l in out])
-        return Dataset(pts, labels, task="seg", num_classes=4)
+        feats = None
+        if cfg.num_feats > 0:
+            # rgb-like + normalized-xyz features so featured configs
+            # (s3dis_seg: in_channels=6, feat cols 3:6 xyz-like — SURVEY
+            # §2.3 F-13) have a preset-scale convergence stand-in
+            # (VERDICT r3 #7). rgb correlates with the part class the way
+            # real scans' colors correlate with semantics: a per-class
+            # palette, tinted per scene, with per-point noise.
+            rngf = np.random.default_rng(seed0 + 7777)
+            palette = np.array([[0.55, 0.45, 0.35],   # floor
+                                [0.92, 0.92, 0.90],   # ceiling
+                                [0.75, 0.70, 0.60],   # wall
+                                [0.30, 0.50, 0.70]])  # object
+            rgb = palette[labels]                      # [n, N, 3]
+            rgb = rgb + rngf.normal(0, 0.1, (n, 1, 3))        # scene tint
+            rgb = np.clip(rgb + rngf.normal(0, 0.05, rgb.shape), 0, 1)
+            mins = pts.min(axis=1, keepdims=True)
+            span = np.maximum(pts.max(axis=1, keepdims=True) - mins, 1e-6)
+            nxyz = (pts - mins) / span
+            feats = np.concatenate([rgb, nxyz], axis=-1)[
+                ..., :cfg.num_feats].astype(np.float32)
+        return Dataset(pts, labels, features=feats, task="seg",
+                       num_classes=4)
 
     # hermetic fallback (also cfg.dataset == 'synthetic')
     n = 64 if split == "train" else 32

@@ -89,16 +89,47 @@ def run_seg(epochs: int):
     return final["miou"]
 
 
+def run_s3dis(epochs: int):
+    """`s3dis_seg` preset (4096-pt blocks, in_channels=6) on labeled
+    surface scenes with synthesized rgb-like + normalized-xyz features
+    (VERDICT r3 #7) — the featured input path at preset scale."""
+    cfg = presets.get("s3dis_seg")
+    cfg = apply_overrides(cfg, {
+        "data.dataset": "synthetic_scene",
+        "data.num_points": 4096,
+        "data.synthetic_size": 96,
+        "model.num_classes": 4,
+        "train.epochs": epochs,
+        "train.eval_every": max(epochs // 10, 1),
+        "train.ckpt_every": epochs,
+        "train.ckpt_dir": tempfile.mkdtemp(prefix="conv_s3dis_"),
+    })
+    cfg = dataclasses.replace(cfg, name="s3dis_seg+surface")
+    log = tempfile.mktemp(suffix=".jsonl")
+    evals = _train_and_read(cfg, log)
+    print("S3DIS eval trajectory (epoch, overall_acc, miou):")
+    for e in evals:
+        print(f"  {e['epoch']:4d}  {e['overall_acc']:.4f}  {e['miou']:.4f}")
+    final = evals[-1]
+    print(json.dumps({"run": "s3dis_seg+surface",
+                      "final_overall_acc": final["overall_acc"],
+                      "final_miou": final["miou"]}))
+    return final["miou"]
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--run", choices=["cls", "seg", "both"], default="both")
+    ap.add_argument("--run", choices=["cls", "seg", "s3dis", "both", "all"],
+                    default="both")
     ap.add_argument("--epochs-cls", type=int, default=30)
     ap.add_argument("--epochs-seg", type=int, default=60)
     args = ap.parse_args()
-    if args.run in ("cls", "both"):
+    if args.run in ("cls", "both", "all"):
         run_cls(args.epochs_cls)
-    if args.run in ("seg", "both"):
+    if args.run in ("seg", "both", "all"):
         run_seg(args.epochs_seg)
+    if args.run in ("s3dis", "all"):
+        run_s3dis(args.epochs_seg)
 
 
 if __name__ == "__main__":

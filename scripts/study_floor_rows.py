@@ -38,35 +38,45 @@ HBM_BYTES_PER_S = 8.19e11
 
 
 def _time(fn, *args, iters=30, warmup=2):
+    """Bench-protocol timer: `fn` must return a SCALAR. Warmup fetches the
+    scalar (the only reliable sync on the tunnel — block_until_ready can
+    return before execution AND before compilation finishes); the timed
+    loop pipelines `iters` dispatches and fetches only the last scalar."""
     for _ in range(warmup):
-        out = fn(*args)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
+        float(fn(*args))
     t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
         out = fn(*args)
-    # scalar-fetch sync (block_until_ready is unreliable on the tunnel)
-    float(jnp.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+    float(out)
     return (time.perf_counter() - t0) / iters * 1e3
 
 
 def study_sort(iters: int) -> dict:
-    """(a): lax.sort vs one radix pass at the L0 whole-scene shape."""
+    """(a): lax.sort vs one radix pass at the L0 whole-scene shape.
+
+    The production sort is the vmapped single-cloud build's — a [1, N]
+    batched sort along the last axis (ops/voxelize.py:201 under vmap), so
+    that is the form timed here. (Rank-1 [N] u32 sort measured 4 s/call
+    standalone — a degenerate lowering the model never hits.)"""
     N = 81920
     rng = np.random.default_rng(0)
-    keys = jnp.asarray(rng.integers(0, 2**31, N, dtype=np.int64)
+    keys = jnp.asarray(rng.integers(0, 2**31, (1, N), dtype=np.int64)
                        .astype(np.uint32))
-    payload = jnp.arange(N, dtype=jnp.int32)
+    payload = jnp.arange(N, dtype=jnp.int32)[None]
 
     @jax.jit
     def xla_sort(k, p):
-        return jax.lax.sort((k, p), num_keys=1)
+        sk, sp = jax.lax.sort((k, p), num_keys=1, dimension=-1)
+        return sk.astype(jnp.float32).sum() + sp.sum()
 
     @jax.jit
-    def radix_pass(k, p, shift):
+    def radix_pass(k2, p2, shift):
         """One stable 8-bit radix pass, built from what XLA/TPU offers
         (no atomics): rank-within-digit via a [N, 256] one-hot cumsum,
         digit base offsets via histogram cumsum, then ONE row scatter.
         32-bit keys need four of these."""
+        k, p = k2[0], p2[0]
         digit = ((k >> shift) & 0xFF).astype(jnp.int32)
         oh = jax.nn.one_hot(digit, 256, dtype=jnp.int32)        # [N, 256]
         rank = jnp.take_along_axis(
@@ -76,7 +86,7 @@ def study_sort(iters: int) -> dict:
         dest = base[digit] + rank
         out_k = jnp.zeros_like(k).at[dest].set(k, unique_indices=True)
         out_p = jnp.zeros_like(p).at[dest].set(p, unique_indices=True)
-        return out_k, out_p
+        return out_k.astype(jnp.float32).sum() + out_p.sum()
 
     t_sort = _time(xla_sort, keys, payload, iters=iters)
     t_pass = _time(radix_pass, keys, payload, 0, iters=iters)
@@ -107,19 +117,24 @@ def study_encoder_layers(iters: int) -> dict:
         return model.apply(v, 0, x, x, m, False,
                            method="encode_layer", rngs={"cagq": k})
 
-    l1 = jax.tree.map(lambda a: a.block_until_ready(),
-                      encode0(variables, xyz, mask, key))
+    l1 = encode0(variables, xyz, mask, key)
+    float(l1[1].sum())   # sync via scalar fetch
 
     @jax.jit
-    def encode123(v, x, f, m, k):
+    def encode0_s(v, x, m, k):
+        out = encode0(v, x, m, k)
+        return out[1].astype(jnp.float32).sum()
+
+    @jax.jit
+    def encode123_s(v, x, f, m, k):
         for i in (1, 2, 3):
             x, f, m = model.apply(
                 v, i, x, f, m, False, method="encode_layer",
                 rngs={"cagq": jax.random.fold_in(k, i)})
-        return x, f, m
+        return f.astype(jnp.float32).sum()
 
-    t0 = _time(encode0, variables, xyz, mask, key, iters=iters)
-    t123 = _time(encode123, variables, *l1, key, iters=iters)
+    t0 = _time(encode0_s, variables, xyz, mask, key, iters=iters)
+    t123 = _time(encode123_s, variables, *l1, key, iters=iters)
 
     # row-rate floor for the L1-L3 gathers: per layer, the dominant row
     # sets are the winner gather (M*K rows) + context-run gather

@@ -201,3 +201,39 @@ def test_synthetic_shapes40_generator():
     pred = np.argmin(((te[:, None, :] - cent[None]) ** 2).sum(-1), 1)
     acc = (pred == lte).mean()
     assert acc >= 0.5, f"classes collapsed: moment-probe acc {acc:.3f}"
+
+
+def test_synthetic_scene_features_when_configured():
+    """synthetic_scene emits rgb-like + normalized-xyz features when
+    num_feats > 0 (the s3dis_seg preset-scale convergence stand-in,
+    VERDICT r3 #7): rgb channels correlate with the part class, channels
+    3:6 are the per-scene normalized xyz (the s3dis feat_geo_channels
+    convention)."""
+    import dataclasses
+
+    import numpy as np
+
+    from gridgcn_tpu.configs.base import DataConfig
+    from gridgcn_tpu.data.pipeline import make_dataset
+
+    cfg = DataConfig(dataset="synthetic_scene", num_points=2048,
+                     num_feats=6, synthetic_size=6)
+    ds = make_dataset(cfg, "train", 4, "seg")
+    assert ds.features is not None
+    assert ds.features.shape == (6, 2048, 6)
+    assert ds.features.dtype == np.float32
+    # channels 3:6 = normalized xyz in [0, 1], spanning the scene
+    nxyz = ds.features[..., 3:6]
+    assert nxyz.min() >= 0.0 and nxyz.max() <= 1.0
+    assert (nxyz.max(axis=1) > 0.99).all() and (nxyz.min(axis=1) < 0.01).all()
+    # rgb correlates with the part class: per-class means separate
+    rgb = ds.features[..., :3].reshape(-1, 3)
+    labs = ds.labels.reshape(-1)
+    means = np.stack([rgb[labs == c].mean(0) for c in range(4)])
+    dists = np.linalg.norm(means[:, None] - means[None], axis=-1)
+    assert (dists[np.triu_indices(4, 1)] > 0.05).all(), dists
+
+    # and the featureless default stays featureless
+    ds0 = make_dataset(dataclasses.replace(cfg, num_feats=0), "train", 4,
+                       "seg")
+    assert ds0.features is None
