@@ -28,6 +28,8 @@ BASELINE_POINTS_PER_SEC = 81920 / 0.020   # ≈ 4.096 M pts/s, BASELINE.md
 # mixed bf16/f32 and gather/DMA-dominated by design (docs/design.md §10-§11),
 # so MFU is reported for normalization, not as the optimization target.
 V5E_PEAK_FLOPS = 197e12
+# public v5e HBM bandwidth figure (memory-bound MFU analog denominator)
+V5E_HBM_BYTES_PER_S = 8.19e11
 
 
 def _time_fn(fn, *args, warmup: int = 2, iters: int = 10) -> float:
@@ -164,13 +166,23 @@ def bench_seg_whole_scene(batch_size: int, iters: int, knn: str = "auto",
                 ca = forward.lower(variables, xyz, mask, rng).compile(
                     ).cost_analysis()
                 flops = float(ca.get("flops", 0.0)) or None
+                byts = float(ca.get("bytes accessed", 0.0)) or None
             except Exception:
-                flops = None
+                flops = byts = None
             entry["busy_ms"] = busy
             entry["flops"] = flops
             if flops and busy:
                 entry["achieved_tflops"] = flops / (busy / 1e3) / 1e12
                 entry["mfu"] = flops / (busy / 1e3) / V5E_PEAK_FLOPS
+            if byts and busy:
+                # memory-bound analog of MFU: fraction of the pure
+                # HBM-bandwidth floor the pipeline achieves (measured
+                # 0.95 in round 4 — the design's honest efficiency
+                # metric, since it is gather/DMA-bound BY DESIGN,
+                # docs/design.md §11 addendum 3)
+                entry["hbm_bytes"] = byts
+                entry["bandwidth_bound_frac"] = (
+                    byts / V5E_HBM_BYTES_PER_S * 1e3 / busy)
         out[scene] = entry
     return out
 
@@ -338,6 +350,8 @@ def main(argv=None):
         **({"busy_ms": round(seg["busy_ms"], 3)}
            if seg.get("busy_ms") else {}),
         **({"mfu": round(seg["mfu"], 5)} if seg.get("mfu") else {}),
+        **({"bandwidth_bound_frac": round(seg["bandwidth_bound_frac"], 4)}
+           if seg.get("bandwidth_bound_frac") else {}),
         **({"train_step_ms": round(detail["train_step"]["step_ms"], 2)}
            if "train_step" in detail else {}),
         **({"cagq_vs_fps_speedup": round(detail["cagq_vs_fps"]["speedup"], 1)}

@@ -131,19 +131,28 @@ def partition_scene(xyz: np.ndarray, mask: np.ndarray, n_shards: int,
 
 def sharded_scene_apply(apply_fn, xyz: np.ndarray, mask: np.ndarray,
                         mesh: Mesh, halo: float, capacity: int,
-                        num_outputs: int):
+                        num_outputs: int, feat: np.ndarray = None):
     """Whole-scene per-point inference sharded across the mesh.
 
     `apply_fn(xyz [D,cap,3], mask [D,cap]) -> logits [D,cap,C]` is the
     (jitted) network forward treating slabs as batch elements; this wrapper
     partitions the scene, shards slabs over the 'data' axis, and stitches
-    owned predictions back to [N, C] in original point order.
+    owned predictions back to [N, C] in original point order. With `feat`
+    [N, C_in] (featured configs, e.g. S3DIS), apply_fn takes
+    (xyz, feat [D,cap,C_in], mask) instead — features ride the same
+    partition as positions (halo points carry theirs).
     """
     D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     sx, sm, owned, sidx, _ = partition_scene(xyz, mask, D, halo, capacity)
     sh = NamedSharding(mesh, P(DATA_AXIS))
-    logits = np.asarray(jax.device_get(
-        apply_fn(jax.device_put(sx, sh), jax.device_put(sm, sh))))
+    if feat is not None:
+        sf = feat[sidx] * sm[..., None].astype(feat.dtype)
+        logits = np.asarray(jax.device_get(
+            apply_fn(jax.device_put(sx, sh), jax.device_put(sf, sh),
+                     jax.device_put(sm, sh))))
+    else:
+        logits = np.asarray(jax.device_get(
+            apply_fn(jax.device_put(sx, sh), jax.device_put(sm, sh))))
 
     out = np.zeros((xyz.shape[0], num_outputs), logits.dtype)
     flat_owned = owned.reshape(-1)

@@ -113,8 +113,8 @@ def evaluate_whole_scenes(ckpt_dir: str, votes: int = 3, mesh_devices: int = 0,
                       np.int64)
     from gridgcn_tpu.train.metrics import confusion_matrix, voxel_confusion
 
-    fwd = jax.jit(lambda x, m, k: model.apply(
-        variables, x, None, m, train=False, rngs={"cagq": k}))
+    fwd = jax.jit(lambda x, f, m, k: model.apply(
+        variables, x, f, m, train=False, rngs={"cagq": k}))
     fwd_resident = None
     if (resident or resident_ml) and mesh is None:
         raise ValueError("--resident/--resident-ml require --mesh N (a "
@@ -135,6 +135,8 @@ def evaluate_whole_scenes(ckpt_dir: str, votes: int = 3, mesh_devices: int = 0,
     for s in range(val_ds.size):
         xyz = val_ds.points[s]
         labels = val_ds.labels[s]
+        feat = (val_ds.features[s]
+                if val_ds.features is not None else None)
         mask = np.ones(xyz.shape[0], bool)
         # metric mask only — the forward still sees every point; the
         # reference ScanNet protocol scores annotated points/voxels only
@@ -146,7 +148,7 @@ def evaluate_whole_scenes(ckpt_dir: str, votes: int = 3, mesh_devices: int = 0,
             acc_logits = votes * predict_resident(
                 cfg, variables, xyz, mask, mesh,
                 rng=jax.random.PRNGKey(1000 * s), fwd=fwd_resident,
-                votes=votes)
+                votes=votes, feat=feat)
         else:
             if mesh is not None:   # vote-invariant partition geometry
                 halo = required_halo(cfg, float(np.ptp(xyz, axis=0).max()))
@@ -156,12 +158,17 @@ def evaluate_whole_scenes(ckpt_dir: str, votes: int = 3, mesh_devices: int = 0,
             for v in range(votes):
                 key = jax.random.PRNGKey(1000 * s + v)
                 if mesh is not None:
+                    apply_fn = ((lambda x, f, m: fwd(x, f, m, key))
+                                if feat is not None else
+                                (lambda x, m: fwd(x, None, m, key)))
                     logits = sharded_scene_apply(
-                        lambda x, m: fwd(x, m, key), xyz, mask, mesh,
+                        apply_fn, xyz, mask, mesh,
                         halo=halo, capacity=capacity,
-                        num_outputs=cfg.model.num_classes)
+                        num_outputs=cfg.model.num_classes, feat=feat)
                 else:
-                    logits = np.asarray(fwd(xyz[None], mask[None], key))[0]
+                    fb = feat[None] if feat is not None else None
+                    logits = np.asarray(fwd(xyz[None], fb, mask[None],
+                                            key))[0]
                 acc_logits = (logits if acc_logits is None
                               else acc_logits + logits)
         cm = cm + confusion_matrix(

@@ -270,3 +270,43 @@ def test_prepare_s3dis_hdf5_roundtrip(tmp_path):
     assert all(n.startswith("Area_5") for n in names)
     tr_xyz, _, _ = load_s3dis(str(tmp_path), "train", 64)
     assert tr_xyz.shape[0] == 4
+
+
+def test_whole_scene_eval_featured_and_sharded(tmp_path):
+    """Featured whole-scene eval (VERDICT r3 #2 follow-through): a config
+    with in_channels=2 evaluates whole scenes on the single-device path,
+    the tier-1 sharded path, and the tier-3 resident-ml path — per-point
+    features ride every partition. The dataset synthesizes class-
+    correlated features, so a plumbing bug that zeroes them shows up as a
+    metric crash, not silence."""
+    import dataclasses
+
+    from gridgcn_tpu.models.build import init_model
+    from gridgcn_tpu.train.evaluate import evaluate_whole_scenes
+    from gridgcn_tpu.train.steps import create_train_state
+    from gridgcn_tpu.utils.checkpoint import CheckpointManager
+
+    base = presets.get("synthetic_tiny_seg")
+    cfg = dataclasses.replace(
+        base,
+        model=dataclasses.replace(base.model, in_channels=2),
+        data=dataclasses.replace(base.data, dataset="synthetic_scene",
+                                 num_points=512, num_feats=2,
+                                 synthetic_size=6))
+    model, variables = init_model(cfg)
+    state = create_train_state(cfg, model, variables, steps_per_epoch=1)
+    ckpt_dir = tmp_path / "ckf"
+    ckpt = CheckpointManager(str(ckpt_dir), cfg, keep=1)
+    ckpt.save(0, jax.device_get(state), jax.device_get(jax.random.PRNGKey(0)))
+    ckpt.wait()
+
+    s1 = evaluate_whole_scenes(str(ckpt_dir), votes=1,
+                               log_path=str(tmp_path / "f1.jsonl"))
+    assert np.isfinite(float(s1["overall_acc"]))
+    s2 = evaluate_whole_scenes(str(ckpt_dir), votes=1, mesh_devices=4,
+                               log_path=str(tmp_path / "f2.jsonl"))
+    assert np.isfinite(float(s2["overall_acc"]))
+    s3 = evaluate_whole_scenes(str(ckpt_dir), votes=1, mesh_devices=4,
+                               resident_ml=True,
+                               log_path=str(tmp_path / "f3.jsonl"))
+    assert np.isfinite(float(s3["overall_acc"]))
