@@ -35,6 +35,9 @@ def timed(fn, *args, iters=20, warmup=2):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--ghost-sweep", action="store_true",
+                    help="also sweep tier-3 ghost_cap at D=1 to validate "
+                         "the linear ghost-compute-tax model (round 4)")
     args = ap.parse_args()
 
     from gridgcn_tpu.configs import presets
@@ -95,6 +98,27 @@ def main():
     print(f"tier-3 resident-ml@1: {t3:8.2f} ms/scene "
           f"(+{t3 - t_plain:.2f} = {(t3 / t_plain - 1) * 100:.1f}% overhead,"
           f" capacity {cap})")
+
+    if args.ghost_sweep:
+        # Validate the ghost-compute tax's LINEAR model (comm_audit.
+        # ghost_compute_tax, anchored on the full-share point above) with
+        # more measured points: at D=1 the boundary bands are empty
+        # (lo/hi are ±inf), so ghost buffers are pure padding and their
+        # compute cost can be swept without overflow. ratio = 2H/share.
+        from gridgcn_tpu.parallel.comm_audit import GHOST_TAX_COEFF
+        for div in (2, 4, 8):
+            caps = tuple(max(8, l.n_centers // div)
+                         for l in cfg.model.layers)
+            ratio = sum(2 * c for c in caps) / sum(
+                l.n_centers for l in cfg.model.layers)
+            fwd3c = rml.make_resident_ml_forward(cfg, mesh, ghost_cap=caps)
+            t3c = timed(lambda f=fwd3c: jnp.sum(
+                f(var_r, sx_d, sm_d, e_d, o_d, x_d, rng)[0]),
+                iters=args.iters)
+            pred = t_plain * (1 + GHOST_TAX_COEFF * ratio)
+            print(f"tier-3 ghost_cap=share/{div}: {t3c:8.2f} ms/scene "
+                  f"(ratio {ratio:.3f}; measured +{(t3c / t_plain - 1) * 100:.1f}% "
+                  f"vs model-predicted +{(pred / t_plain - 1) * 100:.1f}%)")
 
     # ---- tier 2 (resident) at D=1 (takes vsize, not extent) ----
     from gridgcn_tpu.parallel import resident as r2
