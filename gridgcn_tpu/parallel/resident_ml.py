@@ -390,10 +390,19 @@ def resident_ml_seg_predict(cfg: Config, variables, xyz: np.ndarray,
     scene's max slab+halo occupancy — ~N/D, NOT N). `votes` > 1
     logit-averages that many CAGQ seeds; partitioning and parameter staging
     happen once, not per vote. `feat` [N, in_channels] is required when
-    cfg.model.in_channels > 0 (it rides the same partition as xyz)."""
+    cfg.model.in_channels > 0 (it rides the same partition as xyz).
+    `ghost_cap="auto"` calibrates per-level caps from this scene's
+    measured boundary-band occupancy (`calibrate_ghost_cap`) — smaller
+    ghost buffers = less ghost-compute tax; the overflow counters verify
+    the estimate."""
     from gridgcn_tpu.parallel.spatial import suggest_capacity
 
     D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    if isinstance(ghost_cap, str):
+        if ghost_cap != "auto":
+            raise ValueError(f"ghost_cap must be int/sequence/'auto', "
+                             f"got {ghost_cap!r}")
+        ghost_cap = calibrate_ghost_cap(cfg, xyz, mask, D)
     res0 = cfg.model.layers[0].resolution
 
     origin, vsize = grid_bounds(jnp.asarray(xyz)[None],

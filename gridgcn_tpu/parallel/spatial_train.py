@@ -34,16 +34,20 @@ from gridgcn_tpu.train.steps import TrainState
 
 def make_spatial_train_step(cfg: Config, mesh: Mesh, sched=None,
                             class_weights: Optional[jax.Array] = None,
-                            tier: str = "resident"):
+                            tier: str = "resident", ghost_cap=0):
     """Jitted (state, scene_batch, rng) → (state, metrics) step over the
     tier-2 (`tier="resident"`) or tier-3 (`tier="resident_ml"`) forward.
     `scene_batch` comes from `shard_scene_batch`: sx [D,cap,3], sm [D,cap],
-    owned [D,cap], label [D,cap], plus edges / origin / vsize / extent."""
+    owned [D,cap], label [D,cap], plus edges / origin / vsize / extent.
+    `ghost_cap` (tier 3): per-face ghost buffer rows, int or per-level
+    sequence — calibrated caps shrink the ghost-compute tax
+    (`resident_ml.calibrate_ghost_cap`, design.md §13 addendum)."""
     if tier == "resident":
         fwd = make_resident_forward(cfg, mesh, train=True)
     elif tier == "resident_ml":
         from gridgcn_tpu.parallel.resident_ml import make_resident_ml_forward
-        fwd = make_resident_ml_forward(cfg, mesh, train=True)
+        fwd = make_resident_ml_forward(cfg, mesh, train=True,
+                                       ghost_cap=ghost_cap)
     else:
         raise ValueError(f"unknown spatial tier: {tier}")
     num_classes = cfg.model.num_classes

@@ -177,7 +177,8 @@ def train(cfg: Config, mesh_devices: int = 0, log_path: str | None = None,
 def train_spatial(cfg: Config, mesh_devices: int,
                   log_path: str | None = None, capacity: int = 0,
                   tier: str = "resident",
-                  tensorboard_dir: str | None = None):
+                  tensorboard_dir: str | None = None,
+                  ghost_cap="0"):
     """Fully-resident spatially-sharded training (F-22): each training
     example is ONE whole scene partitioned into slabs across the mesh; the
     loss is owned-point-masked CE; gradients psum over ICI (see
@@ -213,8 +214,23 @@ def train_spatial(cfg: Config, mesh_devices: int,
             train_ds.labels, cfg.model.num_classes,
             ignore_label=cfg.model.ignore_label)
 
+    # tier-3 ghost caps: "auto" calibrates per-level buffers from a sample
+    # of training scenes (worst case over the sample — the compiled step is
+    # shared by every scene), shrinking the ghost-compute tax vs the
+    # full-share default (design.md §13 addendum)
+    caps = 0
+    if str(ghost_cap) == "auto" and tier == "resident_ml":
+        from gridgcn_tpu.parallel.resident_ml import calibrate_ghost_cap
+        per_scene = [calibrate_ghost_cap(cfg, train_ds.points[i],
+                                         np.ones(N, bool), D)
+                     for i in range(min(train_ds.size, 8))]
+        caps = tuple(int(max(c)) for c in zip(*per_scene))
+        log.log("ghost_cap", caps=list(caps))
+    elif str(ghost_cap) not in ("0", "auto"):
+        caps = int(ghost_cap)
     step = make_spatial_train_step(cfg, mesh, sched, tier=tier,
-                                   class_weights=class_weights)
+                                   class_weights=class_weights,
+                                   ghost_cap=caps)
     ckpt = CheckpointManager(cfg.train.ckpt_dir, cfg, keep=cfg.train.keep_ckpts)
     rng = jax.random.PRNGKey(cfg.train.seed)
     restored = ckpt.restore(state, rng)
@@ -279,6 +295,11 @@ def main(argv=None):
                         "partitioned across the mesh (F-22)")
     p.add_argument("--spatial-capacity", type=int, default=0,
                    help="per-shard point capacity (0 = auto)")
+    p.add_argument("--ghost-cap", default="0",
+                   help="tier-3 per-face ghost buffer rows: an int, 0 = "
+                        "full-share default, or 'auto' = calibrate from "
+                        "the training scenes' boundary occupancy (less "
+                        "ghost-compute tax; design.md §13 addendum)")
     p.add_argument("--auto-capacity", choices=["off", "propose", "apply"],
                    default="off",
                    help="step-0 layer-0 capacity audit action when the "
@@ -302,7 +323,8 @@ def main(argv=None):
         train_spatial(cfg, mesh_devices=args.mesh, log_path=args.log,
                       capacity=args.spatial_capacity,
                       tier=args.spatial.replace("-", "_"),
-                      tensorboard_dir=args.tensorboard)
+                      tensorboard_dir=args.tensorboard,
+                      ghost_cap=args.ghost_cap)
     else:
         train(cfg, mesh_devices=args.mesh, log_path=args.log,
               tensorboard_dir=args.tensorboard,

@@ -237,3 +237,28 @@ def test_calibrate_ghost_cap_fits_and_shrinks():
             cfg, variables, xyz, mask, mesh, ghost_cap=caps, fwd=fwd)
     assert logits.shape == (N, cfg.model.num_classes)
     assert np.isfinite(logits).all()
+
+
+def test_resident_ml_predict_ghost_cap_auto():
+    """ghost_cap='auto' calibrates per-level caps inside the predict helper
+    and produces finite, fully-stitched logits (no overflow warning)."""
+    import warnings
+
+    from gridgcn_tpu.configs import presets
+    from gridgcn_tpu.models.build import init_model
+    from gridgcn_tpu.parallel.mesh import make_mesh
+    from gridgcn_tpu.parallel.resident_ml import resident_ml_seg_predict
+
+    cfg = presets.get("synthetic_tiny_seg")
+    _, variables = init_model(cfg)
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(5)
+    N = 2048
+    xyz = rng.uniform(0, 8, size=(N, 3)).astype(np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        logits = resident_ml_seg_predict(cfg, variables, xyz,
+                                         np.ones(N, bool), mesh,
+                                         ghost_cap="auto")
+    assert logits.shape == (N, cfg.model.num_classes)
+    assert np.isfinite(logits).all()
