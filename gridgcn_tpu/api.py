@@ -109,7 +109,8 @@ class Predictor:
     def predict_classes(self, xyz, feat=None, mask=None):
         return np.argmax(self(xyz, feat, mask), axis=-1)
 
-    def predict_scene(self, xyz, votes: int = 1, spatial: str = "auto",
+    def predict_scene(self, xyz, feat=None, votes: int = 1,
+                      spatial: str = "auto",
                       rng: Optional[jax.Array] = None):
         """Whole-scene per-point logits for ONE scene [N, 3] (seg models).
 
@@ -117,8 +118,11 @@ class Predictor:
         fully-resident tier (F-22: `spatial='resident'|'resident_ml'`;
         'auto' = resident_ml when every layer's center count divides the
         shard count, else resident); without a mesh the scene runs on one
-        device. `votes` CAGQ seeds are logit-averaged (the reference's
-        whole-scene voting protocol)."""
+        device. `feat` [N, in_channels] is required when the checkpoint's
+        config has in_channels > 0 (e.g. the S3DIS preset's 6 rgb/norm-xyz
+        channels) and rides the spatial partition with xyz. `votes` CAGQ
+        seeds are logit-averaged (the reference's whole-scene voting
+        protocol)."""
         if self.cfg.model.task != "seg":
             raise ValueError("predict_scene is for segmentation models")
         if votes < 1:
@@ -128,13 +132,22 @@ class Predictor:
             raise ValueError(f"unknown spatial tier {spatial!r}; expected "
                              "'auto', 'resident', or 'resident_ml'")
         xyz = np.asarray(xyz, np.float32)
+        C_in = self.cfg.model.in_channels
+        if C_in and feat is None:
+            raise ValueError(f"this checkpoint's config has in_channels="
+                             f"{C_in}: predict_scene needs feat [N, {C_in}]")
+        if feat is not None:
+            feat = np.asarray(feat, np.float32)
+            if feat.shape != (xyz.shape[0], C_in):
+                raise ValueError(f"feat shape {feat.shape} != expected "
+                                 f"{(xyz.shape[0], C_in)}")
         mask = np.ones(xyz.shape[0], bool)
         rng = jax.random.PRNGKey(0) if rng is None else rng
 
         if self._mesh is None:
             acc = None
             for v in range(votes):
-                lg = self(xyz, rng=jax.random.fold_in(rng, v))
+                lg = self(xyz, feat, rng=jax.random.fold_in(rng, v))
                 acc = lg if acc is None else acc + lg
             return acc / votes
 
@@ -161,7 +174,8 @@ class Predictor:
         # per shard, not N — staging the whole scene on every shard would
         # defeat the memory point of resident sharding)
         return predict(self.cfg, self._variables, xyz, mask, self._mesh,
-                       rng=rng, fwd=self._scene_fwds[spatial], votes=votes)
+                       rng=rng, fwd=self._scene_fwds[spatial], votes=votes,
+                       feat=feat)
 
 
 def load_predictor(ckpt_dir: str, step: Optional[int] = None,

@@ -172,8 +172,10 @@ def scannet_seg_bf16() -> Config:
     trade stays reproducible: blanket bf16 costs ~0.015 held-out mIoU
     (r3 paired runs) and the round-4 bisection localized that cost to BN
     compute — `scannet_seg` now defaults to bf16 matmuls + f32 BN, which
-    is BOTH faster (31.37 vs 31.73 ms/step) and quality-neutral. Prefer
-    the default; this preset only buys ~1% step time for ~1.5 mIoU.
+    is BOTH faster (31.37 vs 31.73 ms/step) and quality-neutral. This
+    preset is strictly dominated by the default (slower AND ~1.5 mIoU
+    worse); never prefer it — it exists only as the measured point the
+    bisection started from.
     """
     base = scannet_seg()
     return dataclasses.replace(

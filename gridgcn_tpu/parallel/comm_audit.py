@@ -55,17 +55,107 @@ ICI_BYTES_PER_S = 4.5e10
 # model conservative at high D).
 GHOST_TAX_COEFF = 0.31 / 2.0
 
+# Tier-2 replicated-fraction anchor (design.md §13 addendum 2): the
+# config-only byte model below (`_tier2_stage_ms`) prices every stage at
+# the HBM-bandwidth floor, but the REPLICATED stages (coarse encoder +
+# inner decode) are gather/top-k-heavy and run further from the floor than
+# the dense matmul-rich stages — so the raw model UNDERSTATES the
+# replicated share. Measured on the real chip (scripts/
+# study_tier2_compute.py, scannet whole-scene): R/C = 0.2034 vs the raw
+# model's 0.1442. The anchor scales the model's split to the measured
+# point; `tier2_replicated_fraction(cfg, anchored=False)` returns the raw
+# model (what the study compares against, keeping the anchor falsifiable).
+TIER2_REPL_ANCHOR = 0.2034 / 0.1442
+
+
+def _normalize_caps(ghost_cap, n_layers: int) -> tuple:
+    """Same semantics as make_resident_ml_forward: int broadcasts, a
+    sequence (tuple/list/ndarray — calibrate_ghost_cap output either way)
+    must have one entry per level."""
+    caps = (tuple(int(c) for c in ghost_cap)
+            if isinstance(ghost_cap, (tuple, list, np.ndarray))
+            else (int(ghost_cap),) * n_layers)
+    if len(caps) != n_layers:
+        raise ValueError(f"ghost_cap sequence needs {n_layers} entries, "
+                         f"got {len(caps)}")
+    return caps
+
 
 def ghost_compute_tax(cfg: Config, n_devices: int, ghost_cap=0) -> float:
     """Projected fractional per-shard compute inflation from tier-3 ghost
     rows: GHOST_TAX_COEFF × Σ(2·H_i) / Σ(n_centers_i / D)."""
     layers = cfg.model.layers
-    caps = (tuple(ghost_cap) if isinstance(ghost_cap, (tuple, list))
-            else (ghost_cap,) * len(layers))
+    caps = _normalize_caps(ghost_cap, len(layers))
     own = sum(l.n_centers / n_devices for l in layers)
     ghosts = sum(2 * (caps[i] or max(8, l.n_centers // n_devices))
                  for i, l in enumerate(layers))
     return GHOST_TAX_COEFF * ghosts / max(own, 1.0)
+
+
+def _tier2_stage_ms(cfg: Config) -> tuple:
+    """(dense_ms, replicated_ms) — projected per-stage times under the
+    design's own cost model: row/channel byte volumes over the HBM floor
+    (the pipeline is bandwidth-bound BY DESIGN, design.md §11 addendum 3)
+    plus the flash-kNN MXU term at its algorithmic 12.5%-of-peak floor
+    (§11 addendum 2). Crude in absolute terms; used only for the tier-2
+    dense/replicated SPLIT, and validated against real-chip stage timings
+    (scripts/study_tier2_compute.py, design.md §13 addendum 2).
+
+    Tier-2 placement (parallel/resident.py): DENSE = encoder layer 0, the
+    final decode stage, the head — sharded ÷D. REPLICATED = encoder
+    layers 1.., decode stages 0..n-2 — duplicated on every shard.
+    """
+    HBM = 8.19e11            # v5e HBM bytes/s (public figure, as bench.py)
+    MXU_KNN = 197e12 * 0.125  # flash-kNN's algorithmic MXU ceiling
+    dt = _feat_dtype_bytes(cfg)
+    layers, ups = cfg.model.layers, cfg.model.up_layers
+    N = cfg.data.num_points
+    BUILD_B = 16             # per-input-row voxel build: 8 B key, ~2 passes
+
+    def enc_ms(n_in, c_in, l):
+        M, K = l.n_centers, l.k_neighbors
+        byts = (n_in * BUILD_B                       # voxel table build
+                + M * K * (3 * 4 + c_in * dt)        # neighbor gather
+                + M * K * sum(l.mlp) * dt * 2        # edge-MLP acts (r+w)
+                + M * (l.context_channels + l.mlp[-1]) * dt * 2)
+        return byts / HBM * 1e3
+
+    def dec_ms(n_tgt, n_src, c_src, up, c_skip):
+        knn = n_tgt * n_src * 2 * 16 / MXU_KNN * 1e3     # rank-16 contraction
+        byts = (n_tgt * 3 * c_src * dt                   # 3-NN gather
+                + n_tgt * (c_src + c_skip + sum(up.mlp) * 2) * dt)
+        return knn + byts / HBM * 1e3
+
+    c_in0 = (3 if cfg.model.use_xyz_feature else 0) + cfg.model.in_channels
+    sizes = [N] + [l.n_centers for l in layers]
+    widths = [c_in0] + [l.mlp[-1] for l in layers]
+
+    dense = enc_ms(N, c_in0, layers[0])
+    repl = 0.0
+    for i in range(1, len(layers)):
+        repl += enc_ms(sizes[i], widths[i], layers[i])
+    for s, up in enumerate(ups):
+        j = len(layers) - 1 - s                 # decode stage s targets j
+        c_src = widths[j + 1] if s == 0 else ups[s - 1].mlp[-1]
+        t = dec_ms(sizes[j], sizes[j + 1], c_src, up, widths[j])
+        if s == len(ups) - 1:
+            dense += t                          # final stage: sharded
+        else:
+            repl += t
+    head_w = sum(cfg.model.head) + cfg.model.num_classes
+    dense += N * head_w * dt * 2 / HBM * 1e3
+    return dense, repl
+
+
+def tier2_replicated_fraction(cfg: Config, anchored: bool = True) -> float:
+    """Fraction of the single-chip forward that tier 2 DUPLICATES on every
+    shard (the replicated coarse pyramid). `anchored` scales the byte
+    model to the real-chip measurement (TIER2_REPL_ANCHOR); pass False for
+    the raw model (what scripts/study_tier2_compute.py validates against,
+    design.md §13 addendum 2)."""
+    dense, repl = _tier2_stage_ms(cfg)
+    frac = repl / max(dense + repl, 1e-12)
+    return min(1.0, TIER2_REPL_ANCHOR * frac) if anchored else frac
 
 
 def _param_bytes(cfg: Config) -> int:
@@ -100,7 +190,12 @@ def comm_report(cfg: Config, n_devices: int,
     efficiency. Tier-3 efficiency charges the GHOST-COMPUTE TAX the
     protocol's static ghost buffers cost (VERDICT r3 weak #2):
     useful_compute / (useful_compute × (1 + tax) + comm) — the r3 report
-    omitted the tax its own mesh=1 study had measured at +31%.
+    omitted the tax its own mesh=1 study had measured at +31%. Tier-2
+    efficiency symmetrically charges the REPLICATED coarse pyramid
+    (per-shard = dense/D + replicated + all_gather;
+    `tier2_replicated_fraction`, validated on hardware by
+    scripts/study_tier2_compute.py) — pricing tier 2's duplication while
+    charging tier 3's ghosts would rig the comparison.
     `ghost_cap`: int for all levels or a per-level sequence (pass
     `resident_ml.calibrate_ghost_cap(...)` output to project the
     calibrated configuration)."""
@@ -108,8 +203,7 @@ def comm_report(cfg: Config, n_devices: int,
     dt = _feat_dtype_bytes(cfg)
     layers = cfg.model.layers
     ups = cfg.model.up_layers
-    caps = (tuple(ghost_cap) if isinstance(ghost_cap, (tuple, list))
-            else (ghost_cap,) * len(layers))
+    caps = _normalize_caps(ghost_cap, len(layers))
 
     # ---- DP gradient psum (training, all strategies) ----
     pbytes = _param_bytes(cfg)
@@ -169,8 +263,17 @@ def comm_report(cfg: Config, n_devices: int,
     }
 
     # ---- projection ----
+    repl_frac = tier2_replicated_fraction(cfg)
+    report["tier2"]["replicated_frac"] = repl_frac
     if compute_ms_per_step is not None:
         t3 = report["tier3"]["time_ms"]
+        # tier 2 duplicates the coarse pyramid on every shard — the exact
+        # analog of tier 3's ghost-compute tax, charged the same way
+        # (per-shard = dense/D + replicated + all_gather). The caller
+        # passes the IDEAL per-shard share (single-chip compute / D).
+        c_total = compute_ms_per_step * D
+        t2_shard = ((1 - repl_frac) * compute_ms_per_step
+                    + repl_frac * c_total + report["tier2"]["time_ms"])
         report["projection"] = {
             "compute_ms_per_shard": compute_ms_per_step,
             # tier 3 pays its halo bytes AND the ghost-compute tax; the
@@ -182,8 +285,7 @@ def comm_report(cfg: Config, n_devices: int,
                 compute_ms_per_step / (compute_ms_per_step * (1 + tax)
                                        + t3 + report["dp"]["time_ms"]),
             "tier2_inference_efficiency":
-                compute_ms_per_step / (compute_ms_per_step
-                                       + report["tier2"]["time_ms"]),
+                compute_ms_per_step / t2_shard,
         }
     return report
 

@@ -394,7 +394,9 @@ def resident_ml_seg_predict(cfg: Config, variables, xyz: np.ndarray,
     `ghost_cap="auto"` calibrates per-level caps from this scene's
     measured boundary-band occupancy (`calibrate_ghost_cap`) — smaller
     ghost buffers = less ghost-compute tax; the overflow counters verify
-    the estimate."""
+    the estimate. Caps are baked into the compiled forward, so "auto"
+    cannot be combined with a prebuilt `fwd` (raises), and explicit caps
+    passed alongside `fwd` must be the ones it was built with."""
     from gridgcn_tpu.parallel.spatial import suggest_capacity
 
     D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
@@ -402,6 +404,14 @@ def resident_ml_seg_predict(cfg: Config, variables, xyz: np.ndarray,
         if ghost_cap != "auto":
             raise ValueError(f"ghost_cap must be int/sequence/'auto', "
                              f"got {ghost_cap!r}")
+        if fwd is not None:
+            # caps are baked into fwd at build time — a per-scene
+            # calibration here could not be honored and would silently
+            # measure the fwd's caps instead (build the fwd with
+            # calibrate_ghost_cap(...) caps, or drop the fwd argument)
+            raise ValueError("ghost_cap='auto' cannot be combined with a "
+                             "prebuilt fwd: ghost buffers are sized at "
+                             "build time")
         ghost_cap = calibrate_ghost_cap(cfg, xyz, mask, D)
     res0 = cfg.model.layers[0].resolution
 

@@ -62,13 +62,19 @@ def make_spatial_train_step(cfg: Config, mesh: Mesh, sched=None,
             pos = ((batch["sx"], batch["sf"], batch["sm"])
                    if cfg.model.in_channels else
                    (batch["sx"], batch["sm"]))
+            overflow = jnp.zeros((), jnp.int32)
             if tier == "resident":
                 logits, stats = fwd(v, *pos, batch["edges"],
                                     batch["origin"], batch["vsize"], key)
             else:
-                logits, _overflow, stats = fwd(
+                logits, overflow, stats = fwd(
                     v, *pos, batch["edges"],
                     batch["origin"], batch["extent"], key)
+                # calibrated caps (--ghost-cap auto) are an ESTIMATE from a
+                # sample of scenes; the counter is the per-step verification
+                # (calibrate_ghost_cap docstring) — surface it so the train
+                # loop can warn instead of silently reading stale ghosts
+                overflow = jnp.sum(overflow)
             logits = logits.astype(jnp.float32)
             onehot = jax.nn.one_hot(batch["label"], num_classes,
                                     dtype=logits.dtype)
@@ -84,9 +90,9 @@ def make_spatial_train_step(cfg: Config, mesh: Mesh, sched=None,
             acc = jnp.sum(jnp.where(owned,
                                     jnp.argmax(logits, -1) == batch["label"],
                                     False)) / n
-            return loss, (acc, stats)
+            return loss, (acc, stats, overflow)
 
-        (loss, (acc, stats)), grads = jax.value_and_grad(
+        (loss, (acc, stats, overflow)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         state = state.apply_gradients(grads=grads)
         from gridgcn_tpu.parallel.resident import _merge_stats
@@ -94,6 +100,8 @@ def make_spatial_train_step(cfg: Config, mesh: Mesh, sched=None,
         state = state.replace(batch_stats=new_stats)
         metrics = {"loss": loss, "acc": acc,
                    "grad_norm": optax.global_norm(grads)}
+        if tier == "resident_ml":
+            metrics["ghost_overflow"] = overflow
         if sched is not None:
             metrics["lr"] = sched(state.step)
         return state, metrics

@@ -178,7 +178,7 @@ def train_spatial(cfg: Config, mesh_devices: int,
                   log_path: str | None = None, capacity: int = 0,
                   tier: str = "resident",
                   tensorboard_dir: str | None = None,
-                  ghost_cap="0"):
+                  ghost_cap="0", auto_capacity: str = "off"):
     """Fully-resident spatially-sharded training (F-22): each training
     example is ONE whole scene partitioned into slabs across the mesh; the
     loss is owned-point-masked CE; gradients psum over ICI (see
@@ -194,7 +194,7 @@ def train_spatial(cfg: Config, mesh_devices: int,
 
     train_ds = make_dataset(cfg.data, "train", cfg.model.num_classes,
                             cfg.model.task)
-    _log_capacity(log, cfg, train_ds)
+    cfg = _log_capacity(log, cfg, train_ds, auto_capacity)
     steps_per_epoch = cfg.train.steps_per_epoch or train_ds.size
     model, variables = init_model(cfg, seed=cfg.train.seed)
     state = create_train_state(cfg, model, variables, steps_per_epoch)
@@ -243,7 +243,7 @@ def train_spatial(cfg: Config, mesh_devices: int,
     mask_full = np.ones(N, bool)
     for epoch in range(start_epoch, cfg.train.epochs):
         t_ep = time.time()
-        losses, accs = [], []
+        losses, accs, overflows = [], [], []
         order = np.random.default_rng(cfg.train.seed + epoch).permutation(
             train_ds.size)
         for s_i in order:
@@ -260,14 +260,30 @@ def train_spatial(cfg: Config, mesh_devices: int,
             state, m = step(state, batch, rng)
             losses.append(m["loss"])
             accs.append(m["acc"])
+            if "ghost_overflow" in m:
+                overflows.append(m["ghost_overflow"])
             if (cfg.train.log_every > 0
                     and int(state.step) % cfg.train.log_every == 0):
                 log.log("train_step", step=int(state.step),
                         loss=float(m["loss"]), acc=float(m["acc"]),
                         grad_norm=float(m["grad_norm"]))
+        # verify the calibrated ghost_cap estimate per epoch (summed here,
+        # not per step, to keep step dispatch asynchronous): a nonzero
+        # count means some scene's boundary band outgrew the caps and the
+        # decoder read stale/zero ghosts — quality silently degrades unless
+        # the caps are raised (calibrate_ghost_cap docstring contract)
+        n_over = int(np.sum(jax.device_get(overflows))) if overflows else 0
+        if n_over:
+            import warnings
+            warnings.warn(
+                f"resident-ml training: {n_over} boundary rows overflowed "
+                f"the per-face ghost buffers this epoch (ghost_cap="
+                f"{caps!r}); raise --ghost-cap or re-run calibration with "
+                f"a higher safety factor", RuntimeWarning, stacklevel=2)
         log.log("epoch", epoch=epoch,
                 loss=float(np.mean(jax.device_get(losses))),
                 acc=float(np.mean(jax.device_get(accs))),
+                ghost_overflow=n_over,
                 points_per_sec=train_ds.size * N
                 / max(time.time() - t_ep, 1e-9))
         if (cfg.train.ckpt_every > 0 and (epoch + 1) % cfg.train.ckpt_every == 0) \
@@ -324,7 +340,8 @@ def main(argv=None):
                       capacity=args.spatial_capacity,
                       tier=args.spatial.replace("-", "_"),
                       tensorboard_dir=args.tensorboard,
-                      ghost_cap=args.ghost_cap)
+                      ghost_cap=args.ghost_cap,
+                      auto_capacity=args.auto_capacity)
     else:
         train(cfg, mesh_devices=args.mesh, log_path=args.log,
               tensorboard_dir=args.tensorboard,

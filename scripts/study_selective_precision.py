@@ -31,8 +31,13 @@ import time
 
 
 def make_variant(base, name):
-    """Apply a precision variant to any config."""
-    m = base.model
+    """Apply a precision variant to any config. The base's own precision
+    knobs are cleared first so variant names mean the same thing whatever
+    the preset's default is (scannet_seg now DEFAULTS to bf16+bn32 — the
+    winner of this very study; without the reset, 'f32' would silently
+    measure that default instead of f32)."""
+    m = dataclasses.replace(base.model, dtype="float32", att_dtype="",
+                            interp_dtype="", bn_dtype="")
     if name == "f32":
         pass
     elif name == "bf16":
@@ -124,9 +129,13 @@ def main():
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--iters", type=int, default=30)
+    # the default list reproduces the decision table the scannet_seg
+    # default rests on: both negatives (att32, att32+interp32), the
+    # winning bf16_bn32 row, and the all-islands-f32 bound
     ap.add_argument("--variants", nargs="+",
                     default=["f32", "bf16", "bf16_att32",
-                             "bf16_att32_interp32"])
+                             "bf16_att32_interp32", "bf16_bn32",
+                             "bf16_matmul_only"])
     ap.add_argument("--skip-quality", action="store_true")
     ap.add_argument("--skip-speed", action="store_true")
     args = ap.parse_args()

@@ -182,6 +182,23 @@ def test_comm_audit_accounting():
     for lvl, c in enumerate(caps):
         assert hc[lvl] == c
 
+    # TIER-2 REPLICATED-COMPUTE CHARGE (round 4, symmetric with the ghost
+    # tax): tier 2 duplicates the coarse pyramid on every shard, so its
+    # efficiency is compute / ((1-f)·compute + f·compute·D + t_ag) — NOT
+    # compute / (compute + t_ag). The fraction comes from the byte model
+    # anchored on the real-chip split (scripts/study_tier2_compute.py).
+    from gridgcn_tpu.parallel.comm_audit import tier2_replicated_fraction
+
+    f = r8["tier2"]["replicated_frac"]
+    assert f == tier2_replicated_fraction(cfg)
+    assert 0.0 < f < 0.6                      # coarse pyramid is the tail
+    assert f > tier2_replicated_fraction(cfg, anchored=False)  # anchor > 1
+    c = 1.5
+    expect = c / ((1 - f) * c + f * c * 8 + r8["tier2"]["time_ms"])
+    assert abs(proj["tier2_inference_efficiency"] - expect) < 1e-9
+    # the duplicated pyramid, not the all_gather bytes, is tier 2's cost
+    assert proj["tier2_inference_efficiency"] < 0.9
+
 
 def test_calibrate_ghost_cap_fits_and_shrinks():
     """`calibrate_ghost_cap` (VERDICT r3 #3): data-driven per-level ghost
