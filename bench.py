@@ -80,18 +80,11 @@ def _capacity_report(cfg, xyz, mask):
 
 
 def _busy_ms_per_iter(logdir: str, iters: int) -> float | None:
-    """Device-busy ms/iter from a captured trace (utils/traceview exclusive
-    attribution). None if the xplane proto is unavailable or the trace has
-    no device plane — the bench stays usable on CPU backends."""
-    try:
-        from gridgcn_tpu.utils.traceview import exclusive_times, load_events
+    """Moved to utils.profiling.busy_ms_per_iter (shared with the tier-2
+    compute study); thin alias kept for the bench's internal call sites."""
+    from gridgcn_tpu.utils.profiling import busy_ms_per_iter
 
-        busy_ps = 0
-        for events in load_events(logdir).values():
-            busy_ps += sum(exclusive_times(events).values())
-        return busy_ps / iters / 1e9 if busy_ps else None
-    except Exception:
-        return None
+    return busy_ms_per_iter(logdir, iters)
 
 
 def bench_seg_whole_scene(batch_size: int, iters: int, knn: str = "auto",

@@ -55,17 +55,21 @@ ICI_BYTES_PER_S = 4.5e10
 # model conservative at high D).
 GHOST_TAX_COEFF = 0.31 / 2.0
 
-# Tier-2 replicated-fraction anchor (design.md §13 addendum 2): the
-# config-only byte model below (`_tier2_stage_ms`) prices every stage at
-# the HBM-bandwidth floor, but the REPLICATED stages (coarse encoder +
-# inner decode) are gather/top-k-heavy and run further from the floor than
-# the dense matmul-rich stages — so the raw model UNDERSTATES the
-# replicated share. Measured on the real chip (scripts/
-# study_tier2_compute.py, scannet whole-scene): R/C = 0.2034 vs the raw
-# model's 0.1442. The anchor scales the model's split to the measured
-# point; `tier2_replicated_fraction(cfg, anchored=False)` returns the raw
-# model (what the study compares against, keeping the anchor falsifiable).
-TIER2_REPL_ANCHOR = 0.2034 / 0.1442
+# Tier-2 replicated fractions MEASURED on the real chip (scripts/
+# study_tier2_compute.py, trace-driven device-busy split — wall time
+# carries ~0.7-1.1 ms/call of tunnel launch overhead that inflates the
+# small standalone replicated measurement; design.md §13 addendum 2).
+# The config-only byte model below (`_tier2_stage_ms`) misses in BOTH
+# directions across the two measured configs (whole-scene: model 0.144 vs
+# measured 0.164; crop: model 0.354 vs measured 0.227), so no global
+# scale factor transfers — the projection uses the measurement when one
+# exists for the config and the raw model (±40% observed error band)
+# otherwise. `tier2_replicated_fraction(cfg, anchored=False)` always
+# returns the raw model, keeping it falsifiable against future runs.
+MEASURED_TIER2_REPL_FRAC = {
+    "scannet_whole_scene": 0.1641,
+    "scannet_seg": 0.2271,
+}
 
 
 def _normalize_caps(ghost_cap, n_layers: int) -> tuple:
@@ -149,13 +153,16 @@ def _tier2_stage_ms(cfg: Config) -> tuple:
 
 def tier2_replicated_fraction(cfg: Config, anchored: bool = True) -> float:
     """Fraction of the single-chip forward that tier 2 DUPLICATES on every
-    shard (the replicated coarse pyramid). `anchored` scales the byte
-    model to the real-chip measurement (TIER2_REPL_ANCHOR); pass False for
-    the raw model (what scripts/study_tier2_compute.py validates against,
-    design.md §13 addendum 2)."""
+    shard (the replicated coarse pyramid). With `anchored` (default) the
+    real-chip measurement is returned when one exists for this config
+    (MEASURED_TIER2_REPL_FRAC, keyed by preset name); the raw byte model
+    is the fallback — and the only thing returned with `anchored=False`
+    (what scripts/study_tier2_compute.py validates against, design.md §13
+    addendum 2)."""
+    if anchored and cfg.name in MEASURED_TIER2_REPL_FRAC:
+        return MEASURED_TIER2_REPL_FRAC[cfg.name]
     dense, repl = _tier2_stage_ms(cfg)
-    frac = repl / max(dense + repl, 1e-12)
-    return min(1.0, TIER2_REPL_ANCHOR * frac) if anchored else frac
+    return repl / max(dense + repl, 1e-12)
 
 
 def _param_bytes(cfg: Config) -> int:

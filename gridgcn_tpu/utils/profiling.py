@@ -42,3 +42,22 @@ def steady_state_time(fn: Callable[..., jax.Array], *args,
 def annotate(name: str):
     """Named region in profiler traces (jax.profiler.TraceAnnotation)."""
     return jax.profiler.TraceAnnotation(name)
+
+
+def busy_ms_per_iter(logdir: str, iters: int) -> float | None:
+    """Device-busy ms/iter from a captured trace (utils/traceview exclusive
+    attribution summed over device planes). None if the xplane proto is
+    unavailable or the trace has no device plane — callers stay usable on
+    CPU backends. Busy time is the honest per-stage metric on the tunnel
+    backend: wall time carries ~0.7-1.1 ms/call of launch+fetch overhead,
+    which swamps small standalone kernels (bench.py headline entry and
+    scripts/study_tier2_compute.py both use this)."""
+    try:
+        from gridgcn_tpu.utils.traceview import exclusive_times, load_events
+
+        busy_ps = 0
+        for events in load_events(logdir).values():
+            busy_ps += sum(exclusive_times(events).values())
+        return busy_ps / iters / 1e9 if busy_ps else None
+    except Exception:
+        return None

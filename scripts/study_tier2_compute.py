@@ -23,6 +23,14 @@ and compares the measured R/C against `comm_audit.tier2_replicated_fraction`
 projection constant is anchored on hardware, not on the model's own
 assumptions. Results recorded in docs/design.md §13 addendum 2.
 
+The split uses TRACE-DRIVEN DEVICE-BUSY time (the bench protocol), not
+wall: each jitted call through the tunnel carries ~0.7-1.1 ms of launch/
+fetch overhead, which inflates the small standalone R measurement far
+more than the full forward — the first (wall-based) run of this study
+read R/C at 0.203 where the busy split puts it materially lower, and at
+crop shapes the wall crosscheck even goes NEGATIVE (E0+R > C). Wall
+numbers are still printed for the record.
+
 Usage: python scripts/study_tier2_compute.py [--iters 40]
          [--preset scannet_whole_scene]
 """
@@ -63,7 +71,14 @@ def main():
     mask = jnp.ones((1, N), bool)
     key = jax.random.PRNGKey(0)
 
+    import tempfile
+
+    from gridgcn_tpu.utils.profiling import busy_ms_per_iter, trace
+
     def timed(fn, *a, iters=args.iters):
+        """(wall_ms, busy_ms) — wall over `iters` async dispatches + one
+        fetch, then device-busy ms/iter from a 10-iter trace (exclusive
+        event times; identical protocol to bench.py's headline entry)."""
         for _ in range(2):
             float(fn(*a))
         t0 = time.perf_counter()
@@ -71,7 +86,15 @@ def main():
         for _ in range(iters):
             out = fn(*a)
         float(out)
-        return (time.perf_counter() - t0) / iters * 1e3
+        wall = (time.perf_counter() - t0) / iters * 1e3
+        tdir = tempfile.mkdtemp(prefix="tier2_tr_")
+        with trace(tdir):
+            o = None
+            for _ in range(10):
+                o = fn(*a)
+            float(o)
+        busy = busy_ms_per_iter(tdir, 10)
+        return wall, busy
 
     @jax.jit
     def full(v, x, m, k):
@@ -114,9 +137,9 @@ def main():
             c_xyz, c_mask = d_xyz, d_mask
         return c_feat.sum()
 
-    C = timed(full, variables, xyz, mask, key)
-    R = timed(replicated, variables, g_xyz, g_feat, g_valid, key)
-    E0 = timed(enc0, variables, xyz, mask, key)
+    Cw, Cb = timed(full, variables, xyz, mask, key)
+    Rw, Rb = timed(replicated, variables, g_xyz, g_feat, g_valid, key)
+    E0w, E0b = timed(enc0, variables, xyz, mask, key)
 
     # raw model (anchored=False): this study IS the anchor's provenance —
     # comparing against the anchored value would be circular
@@ -124,13 +147,17 @@ def main():
     out = {
         "preset": args.preset,
         "backend": jax.default_backend(),
-        "full_ms": round(C, 3),
-        "replicated_ms": round(R, 3),
-        "enc0_ms": round(E0, 3),
-        "dense_ms": round(C - R, 3),
-        "measured_replicated_frac": round(R / C, 4),
+        "full_busy_ms": round(Cb, 3) if Cb else None,
+        "replicated_busy_ms": round(Rb, 3) if Rb else None,
+        "enc0_busy_ms": round(E0b, 3) if E0b else None,
+        "measured_replicated_frac":
+            round(Rb / Cb, 4) if (Cb and Rb) else None,
         "model_replicated_frac": round(model_frac, 4),
-        "crosscheck_final_stage_head_ms": round(C - R - E0, 3),
+        "crosscheck_final_stage_head_busy_ms":
+            round(Cb - Rb - E0b, 3) if (Cb and Rb and E0b) else None,
+        "wall_ms": {"full": round(Cw, 3), "replicated": round(Rw, 3),
+                    "enc0": round(E0w, 3),
+                    "replicated_frac_wall": round(Rw / Cw, 4)},
     }
     print("TIER2_COMPUTE " + json.dumps(out))
 
