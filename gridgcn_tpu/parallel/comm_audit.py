@@ -45,15 +45,21 @@ ICI_BYTES_PER_S = 4.5e10
 
 # Ghost-compute tax anchor (VERDICT r3 weak #2): tier-3 per-shard compute
 # is inflated by the static ghost buffers every sharded level carries
-# through sampling/gather/GCA. Measured anchor (design.md §13, real chip):
-# at mesh=1 with the full-share default, ghost rows = 2× the owned rows of
-# every level and the forward ran +31% over the unsharded one. The linear
-# model calibrated on that point: compute inflates by GHOST_TAX_COEFF per
-# unit of (ghost rows / owned rows) averaged over levels. Stated
-# assumption: the row-driven fraction of per-shard compute is roughly
-# D-independent (the grid-table work that does NOT shrink with D makes the
-# model conservative at high D).
-GHOST_TAX_COEFF = 0.31 / 2.0
+# through sampling/gather/GCA — PLUS a fixed protocol overhead (slab
+# bookkeeping, shard_map plumbing, boundary-band maintenance) that does
+# NOT shrink with the caps. The AFFINE model is a least-squares fit to
+# the four mesh=1 DEVICE-BUSY points of the round-4 ghost-cap sweep
+# (scripts/study_mesh1_overhead.py --ghost-sweep; design.md §13):
+# ratio = ghost/owned rows 0.25/0.5/1/2 → overhead +13.6/+15.0/+18.4/
+# +33.2%. The r3/r4 pure-linear model (0.155·ratio, wall-anchored at the
+# ratio-2 point only) understated the tax at calibrated caps by 2×
+# (predicted +7.7% at ratio 0.5, measured +15.0%): the fixed term is what
+# calibration can NEVER reclaim. Stated assumption: the row-driven
+# fraction of per-shard compute is roughly D-independent (the grid-table
+# work that does not shrink with D makes the model conservative at
+# high D).
+GHOST_TAX_FIXED = 0.0935
+GHOST_TAX_COEFF = 0.1142
 
 # Tier-2 replicated fractions MEASURED on the real chip (scripts/
 # study_tier2_compute.py, trace-driven device-busy split — wall time
@@ -86,14 +92,16 @@ def _normalize_caps(ghost_cap, n_layers: int) -> tuple:
 
 
 def ghost_compute_tax(cfg: Config, n_devices: int, ghost_cap=0) -> float:
-    """Projected fractional per-shard compute inflation from tier-3 ghost
-    rows: GHOST_TAX_COEFF × Σ(2·H_i) / Σ(n_centers_i / D)."""
+    """Projected fractional per-shard compute inflation from the tier-3
+    protocol: GHOST_TAX_FIXED + GHOST_TAX_COEFF × Σ(2·H_i) / Σ(n_centers_i
+    / D) — affine in the ghost/owned row ratio, fit to the measured
+    mesh=1 busy-time sweep (see the constants above)."""
     layers = cfg.model.layers
     caps = _normalize_caps(ghost_cap, len(layers))
     own = sum(l.n_centers / n_devices for l in layers)
     ghosts = sum(2 * (caps[i] or max(8, l.n_centers // n_devices))
                  for i, l in enumerate(layers))
-    return GHOST_TAX_COEFF * ghosts / max(own, 1.0)
+    return GHOST_TAX_FIXED + GHOST_TAX_COEFF * ghosts / max(own, 1.0)
 
 
 def _tier2_stage_ms(cfg: Config) -> tuple:

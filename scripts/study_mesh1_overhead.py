@@ -11,7 +11,11 @@ Usage: python scripts/study_mesh1_overhead.py [--iters 20]
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -21,7 +25,14 @@ import numpy as np
 def timed(fn, *args, iters=20, warmup=2):
     """bench.py protocol: fn must return a SCALAR; fetching it is the only
     reliable sync on the remote-tunnel backend (block_until_ready can return
-    before execution finishes there). Pipelined launches, one final fetch."""
+    before execution finishes there). Pipelined launches, one final fetch.
+    Returns (wall_ms, busy_ms): busy from a 10-iter device trace — the
+    honest numerator/denominator for ratios of runs this size (~1 ms/call
+    of tunnel launch overhead rides on wall; see study_tier2_compute)."""
+    import tempfile
+
+    from gridgcn_tpu.utils.profiling import busy_ms_per_iter, trace
+
     for _ in range(warmup):
         float(fn(*args))
     t0 = time.perf_counter()
@@ -29,7 +40,15 @@ def timed(fn, *args, iters=20, warmup=2):
     for _ in range(iters):
         out = fn(*args)
     float(out)
-    return (time.perf_counter() - t0) / iters * 1e3
+    wall = (time.perf_counter() - t0) / iters * 1e3
+    tdir = tempfile.mkdtemp(prefix="mesh1_tr_")
+    with trace(tdir):
+        o = None
+        for _ in range(10):
+            o = fn(*args)
+        float(o)
+    busy = busy_ms_per_iter(tdir, 10)
+    return wall, busy
 
 
 def main():
@@ -64,9 +83,10 @@ def main():
 
     xyz_d = jax.device_put(jnp.asarray(xyz)[None])
     mask_d = jax.device_put(jnp.asarray(mask)[None])
-    t_plain = timed(forward, variables, xyz_d, mask_d, rng,
-                    iters=args.iters)
-    print(f"plain unsharded:      {t_plain:8.2f} ms/scene")
+    t_plain, b_plain = timed(forward, variables, xyz_d, mask_d, rng,
+                             iters=args.iters)
+    print(f"plain unsharded:      {t_plain:8.2f} ms/scene wall, "
+          f"{b_plain and round(b_plain, 2)} busy")
 
     mesh = make_mesh(1)
 
@@ -93,11 +113,14 @@ def main():
     e_d, o_d, x_d = jnp.asarray(edges), jnp.asarray(origin), jnp.asarray(extent)
 
     fwd3 = rml.make_resident_ml_forward(cfg, mesh)
-    t3 = timed(lambda: jnp.sum(fwd3(var_r, sx_d, sm_d, e_d, o_d, x_d,
-                                    rng)[0]), iters=args.iters)
-    print(f"tier-3 resident-ml@1: {t3:8.2f} ms/scene "
-          f"(+{t3 - t_plain:.2f} = {(t3 / t_plain - 1) * 100:.1f}% overhead,"
-          f" capacity {cap})")
+    t3, b3 = timed(lambda: jnp.sum(fwd3(var_r, sx_d, sm_d, e_d, o_d, x_d,
+                                        rng)[0]), iters=args.iters)
+    print(f"tier-3 resident-ml@1: {t3:8.2f} ms/scene wall "
+          f"(+{(t3 / t_plain - 1) * 100:.1f}%), capacity {cap}")
+    if b3 and b_plain:
+        print(f"   busy: {b3:.2f} vs {b_plain:.2f} = "
+              f"+{(b3 / b_plain - 1) * 100:.1f}% ghost-compute overhead "
+              f"(the GHOST_TAX_COEFF anchor)")
 
     if args.ghost_sweep:
         # Validate the ghost-compute tax's LINEAR model (comm_audit.
@@ -105,29 +128,35 @@ def main():
         # more measured points: at D=1 the boundary bands are empty
         # (lo/hi are ±inf), so ghost buffers are pure padding and their
         # compute cost can be swept without overflow. ratio = 2H/share.
-        from gridgcn_tpu.parallel.comm_audit import GHOST_TAX_COEFF
+        from gridgcn_tpu.parallel.comm_audit import (
+            GHOST_TAX_COEFF, GHOST_TAX_FIXED)
         for div in (2, 4, 8):
             caps = tuple(max(8, l.n_centers // div)
                          for l in cfg.model.layers)
             ratio = sum(2 * c for c in caps) / sum(
                 l.n_centers for l in cfg.model.layers)
             fwd3c = rml.make_resident_ml_forward(cfg, mesh, ghost_cap=caps)
-            t3c = timed(lambda f=fwd3c: jnp.sum(
+            t3c, b3c = timed(lambda f=fwd3c: jnp.sum(
                 f(var_r, sx_d, sm_d, e_d, o_d, x_d, rng)[0]),
                 iters=args.iters)
-            pred = t_plain * (1 + GHOST_TAX_COEFF * ratio)
-            print(f"tier-3 ghost_cap=share/{div}: {t3c:8.2f} ms/scene "
-                  f"(ratio {ratio:.3f}; measured +{(t3c / t_plain - 1) * 100:.1f}% "
-                  f"vs model-predicted +{(pred / t_plain - 1) * 100:.1f}%)")
+            m3c, mp = ((b3c, b_plain) if (b3c and b_plain)
+                       else (t3c, t_plain))
+            pred = mp * (1 + GHOST_TAX_FIXED + GHOST_TAX_COEFF * ratio)
+            print(f"tier-3 ghost_cap=share/{div}: {m3c:8.2f} ms/scene busy "
+                  f"(ratio {ratio:.3f}; measured +{(m3c / mp - 1) * 100:.1f}% "
+                  f"vs model-predicted +{(pred / mp - 1) * 100:.1f}%)")
 
     # ---- tier 2 (resident) at D=1 (takes vsize, not extent) ----
     from gridgcn_tpu.parallel import resident as r2
     v_d = jnp.asarray(np.asarray(vsize)[0])
     fwd2 = r2.make_resident_forward(cfg, mesh)
-    t2 = timed(lambda: jnp.sum(fwd2(var_r, sx_d, sm_d, e_d, o_d, v_d, rng)),
-               iters=args.iters)
-    print(f"tier-2 resident@1:    {t2:8.2f} ms/scene "
-          f"(+{t2 - t_plain:.2f} = {(t2 / t_plain - 1) * 100:.1f}% overhead)")
+    t2, b2 = timed(lambda: jnp.sum(fwd2(var_r, sx_d, sm_d, e_d, o_d, v_d,
+                                        rng)),
+                   iters=args.iters)
+    print(f"tier-2 resident@1:    {t2:8.2f} ms/scene wall "
+          f"(+{(t2 / t_plain - 1) * 100:.1f}%)"
+          + (f"; busy {b2:.2f} vs {b_plain:.2f} = "
+             f"+{(b2 / b_plain - 1) * 100:.1f}%" if (b2 and b_plain) else ""))
 
 
 if __name__ == "__main__":

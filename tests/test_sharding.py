@@ -151,17 +151,18 @@ def test_comm_audit_accounting():
             c_dec = cfg.model.up_layers[n - 2 - i].mlp[-1]
             assert lvl_rec["refresh_bytes_per_dir"] == H * c_dec * dt
 
-    # GHOST-COMPUTE TAX (VERDICT r3 weak #2): the full-share default gives
-    # ghost rows = 2x owned rows at every level, and the model is anchored
-    # on the measured mesh=1 +31% point — so the default-cap tax IS 0.31
-    # and the honest tier-3 efficiency sits near 1/1.31, not at the 99.5%
-    # the r3 report claimed by pricing only the halo bytes
+    # GHOST-COMPUTE TAX (VERDICT r3 weak #2): affine in the ghost/owned
+    # row ratio — a fixed protocol term (slab bookkeeping; never reclaimed
+    # by calibration) plus a slope, least-squares fit to the mesh=1
+    # busy-time sweep. Full-share default → ratio ~2 → tax ~0.32, so the
+    # honest tier-3 efficiency sits near 1/1.32, not at the 99.5% the r3
+    # report claimed by pricing only the halo bytes
     from gridgcn_tpu.parallel.comm_audit import (
-        GHOST_TAX_COEFF, ghost_compute_tax)
+        GHOST_TAX_COEFF, GHOST_TAX_FIXED, ghost_compute_tax)
 
     tax = r8["tier3"]["ghost_compute_tax"]
-    # ~2x, not exactly: the deepest level's H floors at 8 > its share of 4
-    assert abs(tax - 2 * GHOST_TAX_COEFF) < 0.01
+    # ratio ~2x, not exactly: deepest level's H floors at 8 > its share of 4
+    assert abs(tax - (GHOST_TAX_FIXED + 2 * GHOST_TAX_COEFF)) < 0.01
     assert tax == ghost_compute_tax(cfg, 8)
     proj = r8["projection"]
     assert 0.70 < proj["tier3_inference_efficiency"] < 0.80
@@ -170,13 +171,14 @@ def test_comm_audit_accounting():
     # bytes, is what calibration has to shrink
     assert r8["tier3"]["time_ms"] < 0.02 * 1.5
 
-    # calibrated (smaller) caps shrink the tax and lift the projection
+    # calibrated (smaller) caps shrink the tax and lift the projection —
+    # but only down to the fixed protocol term, never past it
     caps = tuple(max(8, l.n_centers // 8 // 4) for l in cfg.model.layers)
     r8c = comm_report(cfg, 8, ghost_cap=caps, compute_ms_per_step=1.5)
-    assert r8c["tier3"]["ghost_compute_tax"] < tax / 2
+    assert GHOST_TAX_FIXED < r8c["tier3"]["ghost_compute_tax"] < 0.6 * tax
     assert (r8c["projection"]["tier3_inference_efficiency"]
             > proj["tier3_inference_efficiency"])
-    assert r8c["projection"]["tier3_inference_efficiency"] > 0.9
+    assert r8c["projection"]["tier3_inference_efficiency"] > 0.85
     # and the per-level H in the report reflects the sequence
     hc = {l["level"]: l["H"] for l in r8c["tier3"]["levels"]}
     for lvl, c in enumerate(caps):
