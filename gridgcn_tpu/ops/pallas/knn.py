@@ -167,8 +167,18 @@ def flash_knn_mxu(q_xyz: jax.Array, q_mask: jax.Array, s_xyz: jax.Array,
     q_xyz [Nq, 3], s_xyz [Ns, 3] → (d2 [Nq, k], idx [Nq, k], valid [Nq, k]).
     """
     Nq, Ns = q_xyz.shape[0], s_xyz.shape[0]
-    sb = min(sb, -(-Ns // 128) * 128)
-    ns_pad = -(-Ns // sb) * sb
+    # support chunking: keep the chunk COUNT minimal for the requested sb,
+    # but size the chunks to the data instead of rounding Ns up to a
+    # multiple of sb — at Ns=10240 (a tier-3 shard: owned 8192 + 2×1024
+    # ghosts) the old `ns_pad = ceil(Ns/sb)*sb` padded to 16384 and burned
+    # 60% of the MXU pass on sentinel rows, measured +1.27 ms/scene as the
+    # bulk of the tier-3 "fixed" protocol tax (design.md §13 addendum 3;
+    # scripts/study_tier3_fixed_overhead.py). Worst case now wastes
+    # < n_chunks·128 rows.
+    ns_128 = -(-Ns // 128) * 128
+    n_chunks = -(-ns_128 // sb)
+    sb = -(-ns_128 // n_chunks // 128) * 128
+    ns_pad = sb * n_chunks
     qt = min(qt, max(8, Nq))
     nq_pad = -(-Nq // qt) * qt
 

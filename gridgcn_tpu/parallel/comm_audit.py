@@ -45,21 +45,22 @@ ICI_BYTES_PER_S = 4.5e10
 
 # Ghost-compute tax anchor (VERDICT r3 weak #2): tier-3 per-shard compute
 # is inflated by the static ghost buffers every sharded level carries
-# through sampling/gather/GCA — PLUS a fixed protocol overhead (slab
-# bookkeeping, shard_map plumbing, boundary-band maintenance) that does
-# NOT shrink with the caps. The AFFINE model is a least-squares fit to
-# the four mesh=1 DEVICE-BUSY points of the round-4 ghost-cap sweep
-# (scripts/study_mesh1_overhead.py --ghost-sweep; design.md §13):
-# ratio = ghost/owned rows 0.25/0.5/1/2 → overhead +13.6/+15.0/+18.4/
-# +33.2%. The r3/r4 pure-linear model (0.155·ratio, wall-anchored at the
-# ratio-2 point only) understated the tax at calibrated caps by 2×
-# (predicted +7.7% at ratio 0.5, measured +15.0%): the fixed term is what
-# calibration can NEVER reclaim. Stated assumption: the row-driven
-# fraction of per-shard compute is roughly D-independent (the grid-table
-# work that does not shrink with D makes the model conservative at
-# high D).
-GHOST_TAX_FIXED = 0.0935
-GHOST_TAX_COEFF = 0.1142
+# through sampling/gather/GCA. AFFINE model, least-squares fit to the
+# four mesh=1 DEVICE-BUSY points of the round-4 ghost-cap sweep
+# (scripts/study_mesh1_overhead.py --ghost-sweep; design.md §13
+# addendum 3): ratio = ghost/owned rows 0.25/0.5/1/2 → overhead
+# +5.0/+8.4/+18.4/+33.2%. History of this constant, because each revision
+# was a finding: r3 fit 0.155·ratio on one wall-clock point; the busy
+# sweep then exposed an apparent +9.4% FIXED term — which the attribution
+# study (study_tier3_fixed_overhead.py) traced to flash-kNN support
+# padding quantizing ghost-extended rows up to a full 8192 chunk (60%
+# MXU waste). With that kernel fix the sweep re-fits to near-linear:
+# the protocol's true fixed cost is <1%, and what remains is honest
+# ghost-row work. Stated assumption: the row-driven fraction of
+# per-shard compute is roughly D-independent (the grid-table work that
+# does not shrink with D makes the model conservative at high D).
+GHOST_TAX_FIXED = 0.0096
+GHOST_TAX_COEFF = 0.1631
 
 # Tier-2 replicated fractions MEASURED on the real chip (scripts/
 # study_tier2_compute.py, trace-driven device-busy split — wall time

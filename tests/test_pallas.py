@@ -106,3 +106,30 @@ def test_flash_knn_mxu_masked_supports_never_win(rng_key):
     idx, valid = np.asarray(idx), np.asarray(valid)
     assert valid[:, :2].all() and not valid[:, 2:].any()
     assert (idx[valid] < 2).all()
+
+
+def test_flash_knn_mxu_support_chunking_minimal_pad(rng_key):
+    """Support padding is sized to the data, not rounded up to a full sb
+    chunk: at Ns just past a chunk boundary the old `ceil(Ns/sb)*sb`
+    padding doubled the MXU pass (measured +1.27 ms/scene on tier-3
+    shards, the bulk of the 'fixed' ghost-protocol tax — design.md §13
+    addendum 3). Correctness must hold when sb is re-derived (Ns > sb,
+    Ns not a multiple), including masked supports."""
+    from gridgcn_tpu.ops.pallas.knn import flash_knn, flash_knn_mxu
+
+    Nq, Ns = 512, 700          # sb=512 → n_chunks=2, chunk 384, pad 68 rows
+    q = jax.random.uniform(rng_key, (Nq, 3), minval=-4.0, maxval=9.0)
+    s = jax.random.uniform(jax.random.PRNGKey(11), (Ns, 3),
+                           minval=-4.0, maxval=9.0)
+    qm = jnp.ones((Nq,), bool)
+    sm = jnp.ones((Ns,), bool).at[Ns - 5:].set(False)
+
+    d2e, ie, ve = flash_knn(q, qm, s, sm, k=3, interpret=True)
+    d2m, im, vm = flash_knn_mxu(q, qm, s, sm, k=3, sb=512, interpret=True)
+    ie, im = np.asarray(ie), np.asarray(im)
+
+    np.testing.assert_array_equal(np.asarray(ve), np.asarray(vm))
+    assert np.all(im < Ns - 5)                 # masked/padded rows never win
+    recall = np.mean([len(set(ie[i]) & set(im[i])) / 3 for i in range(Nq)])
+    assert recall >= 0.97, recall
+    assert (ie[:, 0] == im[:, 0]).mean() >= 0.99
