@@ -70,6 +70,11 @@ def main():
     xyz = jnp.asarray(synthetic_scene_surface(N, seed=7))[None]
     mask = jnp.ones((1, N), bool)
     key = jax.random.PRNGKey(0)
+    # featured configs (e.g. s3dis_seg in_channels=6): synthesize rgb-like
+    # channels, same convention as the preset-scale convergence gate
+    C_in = cfg.model.in_channels
+    feat = (jax.random.uniform(jax.random.PRNGKey(3), (1, N, C_in))
+            if C_in else None)
 
     import tempfile
 
@@ -96,22 +101,29 @@ def main():
         busy = busy_ms_per_iter(tdir, 10)
         return wall, busy
 
+    def _l0_feat(x):
+        """Layer-0 input features, the __call__ convention: xyz prefix
+        (when use_xyz_feature) ++ per-point channels."""
+        parts = ([x] if cfg.model.use_xyz_feature else []) + (
+            [feat] if feat is not None else [])
+        return jnp.concatenate(parts, -1) if parts else None
+
     @jax.jit
     def full(v, x, m, k):
-        return model.apply(v, x, None, m, train=False,
+        return model.apply(v, x, feat, m, train=False,
                            rngs={"cagq": k}).sum()
 
     @jax.jit
     def enc0(v, x, m, k):
         c_xyz, c_feat, c_valid = model.apply(
-            v, 0, x, x if cfg.model.use_xyz_feature else None, m, False,
+            v, 0, x, _l0_feat(x), m, False,
             method="encode_layer", rngs={"cagq": k})
         return c_feat.sum()
 
     # level-1 tensors (the all_gathered level every tier-2 shard holds)
     g_xyz, g_feat, g_valid = jax.jit(
         lambda v, x, m, k: model.apply(
-            v, 0, x, x if cfg.model.use_xyz_feature else None, m, False,
+            v, 0, x, _l0_feat(x), m, False,
             method="encode_layer", rngs={"cagq": k}))(
         variables, xyz, mask, key)
 
