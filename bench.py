@@ -24,12 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_POINTS_PER_SEC = 81920 / 0.020   # ≈ 4.096 M pts/s, BASELINE.md
-# MFU denominator: TPU v5e peak is 197 TFLOP/s (bf16 matmul). The model is
-# mixed bf16/f32 and gather/DMA-dominated by design (docs/design.md §10-§11),
-# so MFU is reported for normalization, not as the optimization target.
-V5E_PEAK_FLOPS = 197e12
-# public v5e HBM bandwidth figure (memory-bound MFU analog denominator)
-V5E_HBM_BYTES_PER_S = 8.19e11
+# MFU is reported for normalization, not as the optimization target: the
+# model is mixed bf16/f32 and gather/DMA-dominated by design (docs/design.md
+# §10-§11). Hardware constants shared with the comm audit (ADVICE r4 #4).
+from gridgcn_tpu.utils.hw import (  # noqa: E402
+    DMA_ROWS_PER_S, V5E_HBM_BYTES_PER_S, V5E_PEAK_FLOPS)
 
 
 def _time_fn(fn, *args, warmup: int = 2, iters: int = 10) -> float:

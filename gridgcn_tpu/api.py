@@ -109,10 +109,16 @@ class Predictor:
     def predict_classes(self, xyz, feat=None, mask=None):
         return np.argmax(self(xyz, feat, mask), axis=-1)
 
-    def predict_scene(self, xyz, feat=None, votes: int = 1,
+    def predict_scene(self, xyz, feat=None, *, votes: int = 1,
                       spatial: str = "auto",
                       rng: Optional[jax.Array] = None):
         """Whole-scene per-point logits for ONE scene [N, 3] (seg models).
+
+        `feat` is positional-or-keyword (second, matching `__call__` /
+        `predict_classes`); everything after it is KEYWORD-ONLY so a
+        pre-`feat` caller that passed `votes` positionally fails with a
+        clear TypeError instead of silently binding votes to feat
+        (ADVICE r4 #2 — this was a positional-API break in round 4).
 
         With a mesh, scenes are spatially sharded across it via the
         fully-resident tier (F-22: `spatial='resident'|'resident_ml'`;

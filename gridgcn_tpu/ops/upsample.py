@@ -224,10 +224,18 @@ def three_nn_interpolate(support_feat: jax.Array, nn_idx: jax.Array,
     multiply-accumulate and never build it."""
     def one(feat, idx, w):
         if _INTERP_COMBINED:
-            g = feat[idx]                          # [Nq, k, C] one gather
-            out = w[:, 0, None] * g[:, 0]
-            for j in range(1, idx.shape[1]):       # same add order as below
-                out = out + w[:, j, None] * g[:, j]
+            # ONE gather at NEIGHBOR-MAJOR order: [k·Nq, C] with neighbor j's
+            # rows contiguous at [j·Nq, (j+1)·Nq). The query-major [Nq, k, C]
+            # form forces XLA to materialize a tiled reshape of the gather
+            # output (rows of one query's k neighbors straddle (8,128)-tile
+            # rows) — 63 MB written + re-read per whole scene, the top row of
+            # the round-5 byte attribution (scripts/study_bytes.py). Leading-
+            # dim slices of the neighbor-major form are layout-free views.
+            Nq, k = idx.shape
+            g = feat[idx.T.reshape(-1)]            # [k*Nq, C] one gather
+            out = w[:, 0, None] * g[0:Nq]
+            for j in range(1, k):                  # same add order as below
+                out = out + w[:, j, None] * g[j * Nq:(j + 1) * Nq]
             return out
         out = w[:, 0:1] * feat[idx[:, 0]]
         for j in range(1, idx.shape[1]):

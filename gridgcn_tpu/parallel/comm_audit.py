@@ -32,16 +32,29 @@ payload per chip (ADVICE r3 #3). DCN is out of scope (single-slice audit).
 
 from __future__ import annotations
 
+import hashlib
 import json
+import warnings
 from typing import Optional
 
 import jax
 import numpy as np
 
-from gridgcn_tpu.configs.base import Config
+from gridgcn_tpu.configs.base import Config, to_dict
+from gridgcn_tpu.utils.hw import ICI_BYTES_PER_S  # noqa: F401  (re-export)
 
-# public v5e figure; one direction, per link
-ICI_BYTES_PER_S = 4.5e10
+
+def measurement_fingerprint(cfg: Config) -> str:
+    """Structural fingerprint of everything a per-step hardware measurement
+    depends on: the full model config plus the input shape. Measured anchors
+    below are keyed by this, not by preset NAME (ADVICE r4 #1 / VERDICT r4
+    weak #4): a config modified via dataclasses.replace that keeps its name
+    must NOT inherit a stale measurement."""
+    payload = {"model": to_dict(cfg.model),
+               "num_points": cfg.data.num_points,
+               "batch_size": cfg.data.batch_size}
+    blob = json.dumps(payload, sort_keys=True)
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 # Ghost-compute tax anchor (VERDICT r3 weak #2): tier-3 per-shard compute
 # is inflated by the static ghost buffers every sharded level carries
@@ -73,9 +86,14 @@ GHOST_TAX_COEFF = 0.1631
 # exists for the config and the raw model (±40% observed error band)
 # otherwise. `tier2_replicated_fraction(cfg, anchored=False)` always
 # returns the raw model, keeping it falsifiable against future runs.
+# Each anchor is keyed by preset name AND pinned to the measurement
+# fingerprint of the config it was measured on (round-4 presets); a
+# same-named config whose structure differs refuses the anchor and falls
+# back to the raw model with a warning (ADVICE r4 #1).
 MEASURED_TIER2_REPL_FRAC = {
-    "scannet_whole_scene": 0.1641,
-    "scannet_seg": 0.2271,
+    "scannet_whole_scene": {"frac": 0.1641,
+                            "fingerprint": "3151239c4c9321ae"},
+    "scannet_seg": {"frac": 0.2271, "fingerprint": "0c370ccbb15a3f2a"},
 }
 
 
@@ -118,8 +136,10 @@ def _tier2_stage_ms(cfg: Config) -> tuple:
     final decode stage, the head — sharded ÷D. REPLICATED = encoder
     layers 1.., decode stages 0..n-2 — duplicated on every shard.
     """
-    HBM = 8.19e11            # v5e HBM bytes/s (public figure, as bench.py)
-    MXU_KNN = 197e12 * 0.125  # flash-kNN's algorithmic MXU ceiling
+    from gridgcn_tpu.utils.hw import V5E_HBM_BYTES_PER_S, V5E_PEAK_FLOPS
+
+    HBM = V5E_HBM_BYTES_PER_S
+    MXU_KNN = V5E_PEAK_FLOPS * 0.125  # flash-kNN's algorithmic MXU ceiling
     dt = _feat_dtype_bytes(cfg)
     layers, ups = cfg.model.layers, cfg.model.up_layers
     N = cfg.data.num_points
@@ -156,7 +176,11 @@ def _tier2_stage_ms(cfg: Config) -> tuple:
         else:
             repl += t
     head_w = sum(cfg.model.head) + cfg.model.num_classes
-    dense += N * head_w * dt * 2 / HBM * 1e3
+    # seg heads run per-POINT (N rows); cls heads run on the globally
+    # pooled feature — batch_size rows, not N (ADVICE r4 #4: charging the
+    # cls head N-per-point made the cls fallback fraction meaningless)
+    head_rows = N if cfg.model.task == "seg" else cfg.data.batch_size
+    dense += head_rows * head_w * dt * 2 / HBM * 1e3
     return dense, repl
 
 
@@ -168,8 +192,15 @@ def tier2_replicated_fraction(cfg: Config, anchored: bool = True) -> float:
     is the fallback — and the only thing returned with `anchored=False`
     (what scripts/study_tier2_compute.py validates against, design.md §13
     addendum 2)."""
-    if anchored and cfg.name in MEASURED_TIER2_REPL_FRAC:
-        return MEASURED_TIER2_REPL_FRAC[cfg.name]
+    anchor = MEASURED_TIER2_REPL_FRAC.get(cfg.name)
+    if anchored and anchor is not None:
+        if measurement_fingerprint(cfg) == anchor["fingerprint"]:
+            return anchor["frac"]
+        warnings.warn(
+            f"config '{cfg.name}' does not structurally match the preset "
+            f"the tier-2 replicated fraction was measured on; using the "
+            f"raw byte model (±40% error band) instead of the stale anchor",
+            stacklevel=2)
     dense, repl = _tier2_stage_ms(cfg)
     return repl / max(dense + repl, 1e-12)
 

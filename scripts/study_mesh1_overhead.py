@@ -139,10 +139,13 @@ def main():
             t3c, b3c = timed(lambda f=fwd3c: jnp.sum(
                 f(var_r, sx_d, sm_d, e_d, o_d, x_d, rng)[0]),
                 iters=args.iters)
-            m3c, mp = ((b3c, b_plain) if (b3c and b_plain)
-                       else (t3c, t_plain))
+            # label follows the same fallback branch that picks the numbers
+            # (ADVICE r4 #3): wall numbers carry ~1 ms/call tunnel overhead
+            have_busy = bool(b3c and b_plain)
+            m3c, mp = (b3c, b_plain) if have_busy else (t3c, t_plain)
+            unit = "busy" if have_busy else "wall (no trace)"
             pred = mp * (1 + GHOST_TAX_FIXED + GHOST_TAX_COEFF * ratio)
-            print(f"tier-3 ghost_cap=share/{div}: {m3c:8.2f} ms/scene busy "
+            print(f"tier-3 ghost_cap=share/{div}: {m3c:8.2f} ms/scene {unit} "
                   f"(ratio {ratio:.3f}; measured +{(m3c / mp - 1) * 100:.1f}% "
                   f"vs model-predicted +{(pred / mp - 1) * 100:.1f}%)")
 

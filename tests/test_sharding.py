@@ -195,7 +195,8 @@ def test_comm_audit_accounting():
 
     f = r8["tier2"]["replicated_frac"]
     assert f == tier2_replicated_fraction(cfg)
-    assert f == MEASURED_TIER2_REPL_FRAC["scannet_seg"]   # measured wins
+    # measured anchor wins for the pristine preset
+    assert f == MEASURED_TIER2_REPL_FRAC["scannet_seg"]["frac"]
     assert 0.0 < f < 0.6                      # coarse pyramid is the tail
     # the raw model stays separately callable (falsifiable vs future runs)
     raw = tier2_replicated_fraction(cfg, anchored=False)
@@ -205,6 +206,22 @@ def test_comm_audit_accounting():
     cfg_unk = _dc.replace(cfg, name="not_a_measured_preset")
     assert (tier2_replicated_fraction(cfg_unk)
             == tier2_replicated_fraction(cfg_unk, anchored=False))
+    # ANCHOR FINGERPRINT (VERDICT r4 weak #4 / ADVICE r4 #1): a config
+    # that KEEPS the preset name but changes structure (here: one layer's
+    # mlp width) must refuse the stale hardware measurement and fall back
+    # to the raw byte model, with a warning
+    import warnings as _warnings
+    layers_mod = list(cfg.model.layers)
+    layers_mod[1] = _dc.replace(layers_mod[1], mlp=(96, 96))
+    cfg_mod = _dc.replace(
+        cfg, model=_dc.replace(cfg.model, layers=tuple(layers_mod)))
+    assert cfg_mod.name == "scannet_seg"      # same name, different config
+    with _warnings.catch_warnings(record=True) as wrec:
+        _warnings.simplefilter("always")
+        f_mod = tier2_replicated_fraction(cfg_mod)
+    assert any("stale anchor" in str(w.message) for w in wrec)
+    assert f_mod == tier2_replicated_fraction(cfg_mod, anchored=False)
+    assert f_mod != f
     c = 1.5
     expect = c / ((1 - f) * c + f * c * 8 + r8["tier2"]["time_ms"])
     assert abs(proj["tier2_inference_efficiency"] - expect) < 1e-9
