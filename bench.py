@@ -154,9 +154,10 @@ def bench_seg_whole_scene(batch_size: int, iters: int, knn: str = "auto",
                     o = forward(variables, xyz, mask, rng)
                 float(o)
             busy = _busy_ms_per_iter(tdir, trace_iters)
+            compiled = None
             try:
-                ca = forward.lower(variables, xyz, mask, rng).compile(
-                    ).cost_analysis()
+                compiled = forward.lower(variables, xyz, mask, rng).compile()
+                ca = compiled.cost_analysis()
                 flops = float(ca.get("flops", 0.0)) or None
                 byts = float(ca.get("bytes accessed", 0.0)) or None
             except Exception:
@@ -166,15 +167,27 @@ def bench_seg_whole_scene(batch_size: int, iters: int, knn: str = "auto",
             if flops and busy:
                 entry["achieved_tflops"] = flops / (busy / 1e3) / 1e12
                 entry["mfu"] = flops / (busy / 1e3) / V5E_PEAK_FLOPS
-            if byts and busy:
-                # memory-bound analog of MFU: fraction of the pure
-                # HBM-bandwidth floor the pipeline achieves (measured
-                # 0.95 in round 4 — the design's honest efficiency
-                # metric, since it is gather/DMA-bound BY DESIGN,
-                # docs/design.md §11 addendum 3)
-                entry["hbm_bytes"] = byts
-                entry["bandwidth_bound_frac"] = (
-                    byts / V5E_HBM_BYTES_PER_S * 1e3 / busy)
+            if byts:
+                # cost_analysis' aggregate is kept for comparability, but
+                # it OVERCHARGES gathers ~8x (it bills the full table per
+                # gather — utils/hlocost.py + study_bytes --calibrate), so
+                # round-4's bandwidth_bound_frac built on it was inflated
+                entry["hbm_bytes_hlo_cost_model"] = byts
+            if compiled is not None and busy:
+                # honest composite floor: per-kernel TOUCHED bytes at the
+                # HBM rate + gather/scatter rows at the measured DMA
+                # descriptor rate (the design is row-rate-bound, design.md
+                # §10/§14); floor_frac = floor / busy is the efficiency
+                # metric that replaces round-4's bandwidth_bound_frac
+                from gridgcn_tpu.utils.hlocost import attribute, floor_ms
+                try:
+                    fl = floor_ms(attribute(compiled.as_text()))
+                    entry["hbm_bytes_touched"] = fl["touched_bytes"]
+                    entry["gather_mrows"] = fl["rows"] / 1e6
+                    entry["composite_floor_ms"] = fl["floor_ms"]
+                    entry["floor_frac"] = fl["floor_ms"] / busy
+                except Exception:
+                    pass
         out[scene] = entry
     return out
 
@@ -342,8 +355,9 @@ def main(argv=None):
         **({"busy_ms": round(seg["busy_ms"], 3)}
            if seg.get("busy_ms") else {}),
         **({"mfu": round(seg["mfu"], 5)} if seg.get("mfu") else {}),
-        **({"bandwidth_bound_frac": round(seg["bandwidth_bound_frac"], 4)}
-           if seg.get("bandwidth_bound_frac") else {}),
+        **({"composite_floor_ms": round(seg["composite_floor_ms"], 3),
+            "floor_frac": round(seg["floor_frac"], 4)}
+           if seg.get("floor_frac") else {}),
         **({"train_step_ms": round(detail["train_step"]["step_ms"], 2)}
            if "train_step" in detail else {}),
         **({"cagq_vs_fps_speedup": round(detail["cagq_vs_fps"]["speedup"], 1)}

@@ -719,6 +719,78 @@ def test_spatial_training_tier3(tmp_path):
     assert any(float(jnp.abs(x).sum()) > 0 for x in leaves)
 
 
+def test_spatial_training_tier3_featured_learns_and_needs_features():
+    """VERDICT r4 #3: featured (in_channels > 0) spatially-sharded TRAINING
+    gets executable evidence — the train-side twin of
+    test_tier3_featured_equivalence. An in_channels=2 config trains
+    SPATIALLY (tier 3, calibrated ghost caps) on the feature-decided task:
+
+      (a) owned-point accuracy learns past 4-class chance,
+      (b) the ghost-overflow counter stays 0 under the CALIBRATED caps,
+      (c) a step fed ZEROED features scores ~chance — proof the sharded
+          feature partition (`sf`) actually reaches the loss, so a
+          plumbing bug that drops/misaligns features cannot pass.
+    """
+    import dataclasses
+
+    from gridgcn_tpu.parallel.resident_ml import calibrate_ghost_cap
+    from gridgcn_tpu.parallel.spatial_train import (
+        make_spatial_train_step, shard_scene_batch)
+    from gridgcn_tpu.train.steps import create_train_state
+
+    base = _scene_cfg()
+    cfg = dataclasses.replace(
+        base, name="feat_spatial_train",
+        model=dataclasses.replace(base.model, in_channels=2),
+        data=dataclasses.replace(base.data, num_feats=2))
+    model, variables = init_model(cfg)
+    D = 4
+    mesh = make_mesh(D)
+    N = cfg.data.num_points
+
+    def make_scene(rng_np):
+        xyz = rng_np.uniform((-0.9, -1, -1), (1.1, 1, 1),
+                             size=(N, 3)).astype(np.float32)
+        feat = rng_np.uniform(-1, 1, size=(N, 2)).astype(np.float32)
+        labels = (2 * (feat[:, 0] > 0).astype(np.int32)
+                  + (feat[:, 1] > 0).astype(np.int32))
+        return xyz, feat, labels
+
+    rng_np = np.random.default_rng(11)
+    scenes = [make_scene(rng_np) for _ in range(8)]
+    mask = np.ones(N, bool)
+
+    caps = calibrate_ghost_cap(cfg, scenes[0][0], mask, D)
+    # the calibration must be a real reduction on the dense level, not the
+    # full-share fallback (uniform scenes: band fraction ~ width/slab)
+    assert caps[0] < max(8, cfg.model.layers[0].n_centers // D)
+
+    state = create_train_state(cfg, model, variables, steps_per_epoch=8)
+    step = make_spatial_train_step(cfg, mesh, tier="resident_ml",
+                                   ghost_cap=caps)
+    rng = jax.random.PRNGKey(3)
+    m = None
+    for _ in range(6):
+        for xyz, feat, labels in scenes:
+            batch = shard_scene_batch(cfg, xyz, labels, mask, mesh, N,
+                                      feat=feat)
+            state, m = step(state, batch, rng)
+            assert int(m["ghost_overflow"]) == 0, (
+                "calibrated ghost caps overflowed during featured training")
+    assert float(m["acc"]) > 0.7, (
+        f"featured spatial training stuck at acc={float(m['acc'])}")
+
+    # (c) mutation: zeroed features → the metrics of the NEXT step (computed
+    # on pre-update params) collapse to ~4-class chance
+    xyz, feat, labels = scenes[0]
+    batch0 = shard_scene_batch(cfg, xyz, labels, mask, mesh, N,
+                               feat=np.zeros_like(feat))
+    _, m0 = step(state, batch0, rng)
+    assert float(m0["acc"]) < 0.5, (
+        f"zeroed features still score {float(m0['acc']):.3f} — featured "
+        f"spatial TRAINING cannot detect feature-plumbing bugs")
+
+
 def test_suggest_capacity_bounds_partition():
     """Auto-sized capacity admits every slab's own+halo occupancy (the two
     share one _slab_edges rule) while staying well under the whole-scene
