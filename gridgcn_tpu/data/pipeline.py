@@ -140,6 +140,24 @@ def make_dataset(cfg: DataConfig, split: str, num_classes: int,
         return Dataset(pts, labels, features=feats, task="seg",
                        num_classes=4)
 
+    if cfg.dataset == "synthetic_field":
+        # labels = thresholded smooth hidden fields observed only through
+        # NOISY per-point features: per-point evidence is ~chance, a
+        # neighborhood aggregate is ~0.9 — the mid-band convergence-gate
+        # task (VERDICT r4 #4; generator docstring in data/synthetic.py)
+        base = cfg.synthetic_size or 24
+        n = base if split == "train" else max(base // 3, 8)
+        seed0 = 0 if split == "train" else 1000
+        out = [synthetic.synthetic_feature_field(
+            cfg.num_points, seed=seed0 + i,
+            num_feats=max(cfg.num_feats, 2)) for i in range(n)]
+        pts = np.stack([p for p, _, _ in out])
+        feats = (np.stack([f for _, f, _ in out])[..., :cfg.num_feats]
+                 if cfg.num_feats > 0 else None)
+        labels = np.stack([l for _, _, l in out])
+        return Dataset(pts, labels, features=feats, task="seg",
+                       num_classes=4)
+
     # hermetic fallback (also cfg.dataset == 'synthetic')
     n = 64 if split == "train" else 32
     if task == "cls":

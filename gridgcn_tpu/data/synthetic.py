@@ -204,3 +204,61 @@ def synthetic_scene_surface(num_points: int, seed: int = 0,
     if return_labels:
         return pts[perm].astype(np.float32), labs[perm]
     return pts[perm].astype(np.float32)
+
+
+def synthetic_feature_field(num_points: int, seed: int = 0,
+                            num_feats: int = 6, noise: float = 2.0,
+                            field_scale: float = 1.2,
+                            room: tuple = (6.0, 2.6, 5.0)):
+    """Scene whose labels require NEIGHBORHOOD aggregation of FEATURES —
+    the convergence-gate task of VERDICT r4 #4 (SURVEY §4.2 #4).
+
+    Points are UNIFORM in the room (xyz carries zero label signal, unlike
+    the density task where geometry alone separates blob classes). Two
+    independent smooth hidden fields s0(x), s1(x) ∈ {−1, +1} (signs of
+    random Gaussian mixtures at length scale `field_scale`) define the
+    4-class label 2·(s0>0) + (s1>0). Per-point features observe the
+    fields through heavy noise: f_k = s_k + noise·N(0,1), so
+
+      * a SINGLE point's features are weak evidence — at noise=2.0 the
+        per-point Bayes rate is Φ(1/2)² ≈ 0.48 for the joint label;
+      * a K≈32 neighborhood mean recovers each sign almost surely away
+        from the fields' zero-crossing surfaces, whose measure (set by
+        `field_scale`) pins the achievable plateau MID-BAND — the
+        sensitivity property the two saturated gates lack
+        (accuracy_targets.json: plateaus 1.0 / 0.999 cannot detect a
+        bf16-sized regression; this task's can).
+
+    Feature layout matches the s3dis preset convention (SURVEY §2.3
+    F-13): channels 0..2 = the two noisy field observations + one pure-
+    noise distractor (rgb-like slot), channels 3..5 = normalized xyz
+    (feat_geo_channels). Returns (xyz [N,3] f32, feat [N,num_feats] f32,
+    labels [N] int32).
+    """
+    rng = np.random.default_rng(seed)
+    W, H, D = room
+    xyz = np.stack([rng.uniform(0, W, num_points),
+                    rng.uniform(0, H, num_points),
+                    rng.uniform(0, D, num_points)], 1).astype(np.float32)
+
+    def field_sign(k):
+        frng = np.random.default_rng(seed * 31 + k)
+        nc = 8
+        centers = np.stack([frng.uniform(0, W, nc), frng.uniform(0, H, nc),
+                            frng.uniform(0, D, nc)], 1)
+        amps = frng.choice([-1.0, 1.0], nc)
+        d2 = ((xyz[:, None, :] - centers[None]) ** 2).sum(-1)
+        g = (amps * np.exp(-d2 / (2 * field_scale ** 2))).sum(-1)
+        # median-center so both signs have substantial measure in every
+        # scene (a lopsided field would let a constant prediction score)
+        return np.where(g > np.median(g), 1.0, -1.0)
+
+    s0, s1 = field_sign(0), field_sign(1)
+    labels = (2 * (s0 > 0) + (s1 > 0)).astype(np.int32)
+
+    obs = np.stack([s0, s1, np.zeros(num_points)], 1)
+    obs = obs + noise * rng.standard_normal((num_points, 3))
+    mins, maxs = xyz.min(0, keepdims=True), xyz.max(0, keepdims=True)
+    nxyz = (xyz - mins) / np.maximum(maxs - mins, 1e-6)
+    feat = np.concatenate([obs, nxyz], 1)[:, :num_feats].astype(np.float32)
+    return xyz, feat, labels

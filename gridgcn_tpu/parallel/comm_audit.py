@@ -75,6 +75,18 @@ def measurement_fingerprint(cfg: Config) -> str:
 GHOST_TAX_FIXED = 0.0096
 GHOST_TAX_COEFF = 0.1631
 
+# TRAIN-mode ghost-tax constants (VERDICT r4 #2): the r4 train projection
+# reused the EVAL-mode fit above, but the backward pass roughly doubles row
+# traffic through the ghost buffers and differentiates every ppermute, so
+# the train-side tax had to be measured, not assumed. Fit the same way —
+# least squares on the mesh=1 ghost-cap sweep, TRAIN mode
+# (`study_mesh1_overhead.py --train --ghost-sweep`): plain unsharded
+# whole-scene train step vs tier-3 spatial train step at ratios
+# 0.25/0.5/1/2. None until the round-5 hardware run lands; the projection
+# falls back to the eval fit (and says so) when unset.
+GHOST_TAX_TRAIN_FIXED: float | None = None
+GHOST_TAX_TRAIN_COEFF: float | None = None
+
 # Tier-2 replicated fractions MEASURED on the real chip (scripts/
 # study_tier2_compute.py, trace-driven device-busy split — wall time
 # carries ~0.7-1.1 ms/call of tunnel launch overhead that inflates the
@@ -127,17 +139,23 @@ def _normalize_caps(ghost_cap, n_layers: int) -> tuple:
     return caps
 
 
-def ghost_compute_tax(cfg: Config, n_devices: int, ghost_cap=0) -> float:
+def ghost_compute_tax(cfg: Config, n_devices: int, ghost_cap=0,
+                      train: bool = False) -> float:
     """Projected fractional per-shard compute inflation from the tier-3
     protocol: GHOST_TAX_FIXED + GHOST_TAX_COEFF × Σ(2·H_i) / Σ(n_centers_i
     / D) — affine in the ghost/owned row ratio, fit to the measured
-    mesh=1 busy-time sweep (see the constants above)."""
+    mesh=1 busy-time sweep (see the constants above). `train=True` uses
+    the TRAIN-mode fit when one is recorded (falls back to the eval fit
+    otherwise — the r4 approximation)."""
     layers = cfg.model.layers
     caps = _normalize_caps(ghost_cap, len(layers))
     own = sum(l.n_centers / n_devices for l in layers)
     ghosts = sum(2 * (caps[i] or max(8, l.n_centers // n_devices))
                  for i, l in enumerate(layers))
-    return GHOST_TAX_FIXED + GHOST_TAX_COEFF * ghosts / max(own, 1.0)
+    fixed, coeff = GHOST_TAX_FIXED, GHOST_TAX_COEFF
+    if train and GHOST_TAX_TRAIN_FIXED is not None:
+        fixed, coeff = GHOST_TAX_TRAIN_FIXED, GHOST_TAX_TRAIN_COEFF
+    return fixed + coeff * ghosts / max(own, 1.0)
 
 
 def _tier2_stage_ms(cfg: Config) -> tuple:
@@ -324,11 +342,14 @@ def comm_report(cfg: Config, n_devices: int,
         })
         total_dir_bytes += enc + ref
     tax = ghost_compute_tax(cfg, D, ghost_cap)
+    tax_train = ghost_compute_tax(cfg, D, ghost_cap, train=True)
     report["tier3"] = {
         "levels": per_level,
         "bytes_per_dir_per_chip": int(total_dir_bytes),
         "time_ms": total_dir_bytes / ICI_BYTES_PER_S * 1e3,
         "ghost_compute_tax": tax,
+        "ghost_compute_tax_train": tax_train,
+        "train_tax_is_measured": GHOST_TAX_TRAIN_FIXED is not None,
     }
 
     # ---- projection ----
@@ -354,7 +375,7 @@ def comm_report(cfg: Config, n_devices: int,
                 compute_ms_per_step / (compute_ms_per_step * (1 + tax)
                                        + t3),
             "tier3_train_efficiency":
-                tr / (tr * (1 + tax) + t3 + report["dp"]["time_ms"]),
+                tr / (tr * (1 + tax_train) + t3 + report["dp"]["time_ms"]),
             "tier2_inference_efficiency":
                 compute_ms_per_step / t2_shard,
         }

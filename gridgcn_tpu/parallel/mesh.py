@@ -18,6 +18,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+# second mesh axis for composed scene-batch × spatial sharding (F-19 ∘
+# F-22): scenes ride DATA_AXIS, each scene's voxel slabs ride SPACE_AXIS
+SPACE_AXIS = "space"
 
 
 def make_mesh(num_devices: Optional[int] = None,
@@ -31,6 +34,22 @@ def make_mesh(num_devices: Optional[int] = None,
                 f"{len(devs)} devices are available")
         devs = devs[:num_devices]
     return Mesh(np.array(devs), (DATA_AXIS,))
+
+
+def make_mesh2d(data: int, space: int,
+                devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """2-D (scene × slab) mesh: `data` scene rows × `space` spatial shards
+    (VERDICT r4 #7 — pod-scale deployments batch scenes ACROSS spatial
+    groups, e.g. 2 scenes × 4 slabs on 8 chips). Consecutive devices form
+    one scene's spatial ring, so the tier-3 halo ppermutes ride adjacent
+    ICI links exactly as on a 1-D mesh."""
+    devs = list(devices) if devices is not None else jax.devices()
+    need = data * space
+    if need > len(devs):
+        raise ValueError(f"requested a {data}x{space} mesh but only "
+                         f"{len(devs)} devices are available")
+    return Mesh(np.array(devs[:need]).reshape(data, space),
+                (DATA_AXIS, SPACE_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

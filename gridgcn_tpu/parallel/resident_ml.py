@@ -196,7 +196,8 @@ def calibrate_ghost_cap(cfg: Config, xyz: np.ndarray, mask: np.ndarray,
 def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap=0,
                              axis_name: str = DATA_AXIS,
                              train: bool = False,
-                             debug_capture: bool = False):
+                             debug_capture: bool = False,
+                             batch_axis: str | None = None):
     """Build the jitted fully-sharded multi-level forward.
 
     Returns fwd(variables, shard_xyz [D,cap,3], shard_mask [D,cap],
@@ -220,6 +221,16 @@ def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap=0,
     all levels/faces — nonzero means the decoder read stale/zero ghosts;
     raise ghost_cap (ADVICE r1 #2).
 
+    `batch_axis` (eval only; VERDICT r4 #7) composes scene-batch DP with
+    the spatial sharding on a 2-D (`batch_axis`, `axis_name`) mesh
+    (`mesh.make_mesh2d`): every per-scene argument gains a LEADING scene
+    axis sharded over `batch_axis` — sx [B, Ds, cap, 3], sm [B, Ds, cap],
+    edges [B, Ds+1], origin/extent [B, 3], and rng becomes a key ARRAY
+    [B] (one per scene) — and the per-scene program is vmapped, so each
+    scene's halo ppermutes ride its own spatial ring concurrently.
+    Per-scene outputs are identical to the 1-D forward
+    (test_spatial.test_scene_batched_tier3_matches_per_scene).
+
     `debug_capture` (eval only) appends a per-decode-stage capture of the
     post-ghost-refresh level state — a tuple of (xyz [D,R,3],
     feat [D,R,C], valid [D,R], owned [D,R]) for every stage that carries
@@ -233,7 +244,10 @@ def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap=0,
         raise ValueError("resident-ml forward is for segmentation models")
     C_in = cfg.model.in_channels
     n_layers = len(cfg.model.layers)
-    D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    # spatial shard count = the SIZE OF THE SPATIAL AXIS, not the whole
+    # mesh — on a 2-D (batch_axis, axis_name) mesh the batch axis carries
+    # whole scenes and must not dilute the per-level center shares
+    D = int(mesh.shape[axis_name])
     # every layer samples its share M_i/D of centers (tier 2 divides only
     # layer 0 — here the whole pyramid is sharded)
     for i, l in enumerate(cfg.model.layers):
@@ -355,6 +369,38 @@ def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap=0,
             lambda x: jax.lax.pmean(x, axis_name), stats)
         return logits, overflow[None], stats_mean
 
+    if batch_axis is not None:
+        if train or debug_capture:
+            raise ValueError("batch_axis (2-D mesh) resident-ml forward "
+                             "is eval-only")
+
+        def bfn(variables, *args):
+            if C_in:
+                sx, sf, sm, edges, origin, extent, rngs_ = args
+            else:
+                sx, sm, edges, origin, extent, rngs_ = args
+                sf = None
+
+            def one(sx1, sf1, sm1, e1, o1, x1, r1):
+                return shard_fn(variables, sx1, sf1, sm1, e1, o1, x1, r1)
+
+            return jax.vmap(one, in_axes=(0, 0 if C_in else None,
+                                          0, 0, 0, 0, 0))(
+                sx, sf, sm, edges, origin, extent, rngs_)
+
+        per_scene = P(batch_axis, axis_name)
+        if C_in:
+            in_specs = (P(), per_scene, per_scene, per_scene,
+                        P(batch_axis), P(batch_axis), P(batch_axis),
+                        P(batch_axis))
+        else:
+            in_specs = (P(), per_scene, per_scene, P(batch_axis),
+                        P(batch_axis), P(batch_axis), P(batch_axis))
+        fwd = jax.shard_map(bfn, mesh=mesh, in_specs=in_specs,
+                            out_specs=(per_scene, per_scene),
+                            check_vma=False)
+        return jax.jit(fwd)
+
     if train:
         out_specs = (P(axis_name), P(axis_name), P())
     elif debug_capture:
@@ -467,4 +513,105 @@ def resident_ml_seg_predict(cfg: Config, variables, xyz: np.ndarray,
     out = np.zeros((xyz.shape[0], C), logits.dtype)
     flat_owned = owned.reshape(-1)
     out[sidx.reshape(-1)[flat_owned]] = logits.reshape(-1, C)[flat_owned]
+    return out
+
+
+def resident_ml_seg_predict_scenes(cfg: Config, variables,
+                                   scenes_xyz, masks, mesh: Mesh,
+                                   capacity: Optional[int] = None,
+                                   rng: Optional[jax.Array] = None,
+                                   ghost_cap=0, feats=None,
+                                   fwd=None) -> np.ndarray:
+    """Batched whole-scene prediction on a 2-D (scene × slab) mesh
+    (VERDICT r4 #7): scenes_xyz [B, N, 3] (+ masks [B, N]) are sharded one
+    scene row per DATA_AXIS entry while each scene's voxel slabs ride
+    SPACE_AXIS — e.g. 2 scenes × 4 slabs on 8 chips. Per-scene grids,
+    slab edges, and halo partitioning are computed host-side exactly as in
+    the per-scene path, so outputs match `resident_ml_seg_predict` on a
+    1-D mesh scene for scene (equivalence test in test_spatial.py).
+    Returns logits [B, N, num_classes]."""
+    from gridgcn_tpu.parallel.mesh import SPACE_AXIS
+    from gridgcn_tpu.parallel.spatial import suggest_capacity
+
+    if SPACE_AXIS not in mesh.axis_names or DATA_AXIS not in mesh.axis_names:
+        raise ValueError(f"need a ('{DATA_AXIS}', '{SPACE_AXIS}') mesh "
+                         f"(make_mesh2d); got axes {mesh.axis_names}")
+    Ds = mesh.shape[SPACE_AXIS]
+    scenes_xyz = np.asarray(scenes_xyz, np.float32)
+    masks = np.asarray(masks, bool)
+    B, N = scenes_xyz.shape[:2]
+    if B % mesh.shape[DATA_AXIS]:
+        raise ValueError(f"scene count {B} not divisible by the data axis "
+                         f"({mesh.shape[DATA_AXIS]})")
+    res0 = cfg.model.layers[0].resolution
+    C_in = cfg.model.in_channels
+    if C_in and feats is None:
+        raise ValueError(f"cfg.model.in_channels={C_in} requires "
+                         f"feats [B, N, {C_in}]")
+
+    # per-scene host-side partitioning, identical to the 1-D path; ONE
+    # static capacity (the max need) so shapes agree across scenes
+    parts = []
+    caps_needed = []
+    for b in range(B):
+        origin, vsize = grid_bounds(jnp.asarray(scenes_xyz[b])[None],
+                                    jnp.asarray(masks[b])[None], res0)
+        origin = np.asarray(origin)[0]
+        vsize = np.asarray(vsize)[0]
+        halo = resident_halo(cfg, vsize)
+        caps_needed.append(suggest_capacity(scenes_xyz[b], masks[b], Ds,
+                                            halo))
+        parts.append((origin, vsize, halo))
+    cap = capacity if capacity is not None else max(caps_needed)
+
+    sxs, sms, sidxs, edges_l, origins, extents = [], [], [], [], [], []
+    sfs = []
+    for b in range(B):
+        origin, vsize, halo = parts[b]
+        sx, sm, owned, sidx, edges = partition_scene(
+            scenes_xyz[b], masks[b], Ds, halo, cap)
+        sxs.append(sx)
+        sms.append(sm)
+        sidxs.append((sidx, owned))
+        edges_l.append(edges)
+        origins.append(origin)
+        extents.append(vsize * res0 / (1.0 + 1e-5))
+        if C_in:
+            sfs.append(np.asarray(feats[b], np.float32)[sidx]
+                       * sm[..., None].astype(np.float32))
+
+    per_scene = NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS))
+    rep = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    variables = jax.device_put(variables, rep)
+    if fwd is None:
+        fwd = make_resident_ml_forward(cfg, mesh, ghost_cap=ghost_cap,
+                                       axis_name=SPACE_AXIS,
+                                       batch_axis=DATA_AXIS)
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    rngs = jax.device_put(jax.random.split(rng, B), data_sh)
+    args = [jax.device_put(np.stack(sxs), per_scene)]
+    if C_in:
+        args.append(jax.device_put(np.stack(sfs), per_scene))
+    args.append(jax.device_put(np.stack(sms), per_scene))
+    lg, overflow = fwd(variables, *args,
+                       jax.device_put(np.stack(edges_l), data_sh),
+                       jax.device_put(np.stack(origins), data_sh),
+                       jax.device_put(np.stack(extents), data_sh),
+                       rngs)
+    logits = np.asarray(jax.device_get(lg))
+    n_over = int(np.asarray(jax.device_get(overflow)).sum())
+    if n_over:
+        import warnings
+        warnings.warn(
+            f"resident-ml scenes: {n_over} boundary rows overflowed the "
+            f"per-face ghost buffer (ghost_cap); raise ghost_cap",
+            RuntimeWarning, stacklevel=2)
+
+    C = logits.shape[-1]
+    out = np.zeros((B, N, C), logits.dtype)
+    for b in range(B):
+        sidx, owned = sidxs[b]
+        flat = owned.reshape(-1)
+        out[b][sidx.reshape(-1)[flat]] = logits[b].reshape(-1, C)[flat]
     return out

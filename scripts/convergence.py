@@ -117,12 +117,51 @@ def run_s3dis(epochs: int):
     return final["miou"]
 
 
+def run_field(epochs: int, seed: int = 0):
+    """`s3dis_seg` preset on the feature-FIELD task (VERDICT r4 #4): labels
+    are thresholded smooth hidden fields observed only through noisy
+    per-point features, so (a) the gate requires NEIGHBORHOOD aggregation
+    of features (per-point evidence ≈ chance, 32-NN oracle ≈ 0.9) and
+    (b) the plateau sits MID-BAND, where a bf16-sized quality regression
+    is visible — unlike the two saturated gates (1.0 / 0.999). Run with
+    --seed 0 and 1 to measure the paired-seed spread the target's
+    detectable-delta note is based on."""
+    cfg = presets.get("s3dis_seg")
+    cfg = apply_overrides(cfg, {
+        "data.dataset": "synthetic_field",
+        "data.num_points": 4096,
+        "data.synthetic_size": 96,
+        "model.num_classes": 4,
+        "train.seed": seed,
+        "train.epochs": epochs,
+        "train.eval_every": max(epochs // 10, 1),
+        "train.ckpt_every": epochs,
+        "train.ckpt_dir": tempfile.mkdtemp(prefix="conv_field_"),
+    })
+    cfg = dataclasses.replace(cfg, name="s3dis_seg+field")
+    log = tempfile.mktemp(suffix=".jsonl")
+    evals = _train_and_read(cfg, log)
+    print("FIELD eval trajectory (epoch, overall_acc, miou):")
+    for e in evals:
+        print(f"  {e['epoch']:4d}  {e['overall_acc']:.4f}  {e['miou']:.4f}")
+    final = evals[-1]
+    best = max(e["overall_acc"] for e in evals)
+    print(json.dumps({"run": "s3dis_seg+field", "seed": seed,
+                      "final_overall_acc": final["overall_acc"],
+                      "final_miou": final["miou"],
+                      "best_overall_acc": best}))
+    return final["overall_acc"]
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--run", choices=["cls", "seg", "s3dis", "both", "all"],
+    ap.add_argument("--run",
+                    choices=["cls", "seg", "s3dis", "field", "both", "all"],
                     default="both")
     ap.add_argument("--epochs-cls", type=int, default=30)
     ap.add_argument("--epochs-seg", type=int, default=60)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="train seed (field arm: paired-seed spread)")
     args = ap.parse_args()
     if args.run in ("cls", "both", "all"):
         run_cls(args.epochs_cls)
@@ -130,6 +169,8 @@ def main():
         run_seg(args.epochs_seg)
     if args.run in ("s3dis", "all"):
         run_s3dis(args.epochs_seg)
+    if args.run in ("field", "all"):
+        run_field(args.epochs_seg, seed=args.seed)
 
 
 if __name__ == "__main__":

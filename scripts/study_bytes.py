@@ -34,8 +34,10 @@ import collections
 import os
 import sys
 
-# PYTHONPATH breaks the tunneled TPU plugin's discovery in this environment;
-# the in-process insert is the working pattern (every study script does this)
+# NOTE: the tunneled TPU plugin registers via sitecustomize on the
+# PRE-SET PYTHONPATH (/root/.axon_site) — overriding PYTHONPATH instead of
+# appending breaks backend init. The in-process insert sidesteps that
+# (every study script does this).
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax

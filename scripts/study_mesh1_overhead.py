@@ -7,7 +7,16 @@ is a self-copy, so any gap over the plain forward is pure protocol
 overhead (shard_map plumbing, ghost buffers, slab bookkeeping) — the
 fixed cost the §13 ICI projection sits on top of.
 
-Usage: python scripts/study_mesh1_overhead.py [--iters 20]
+`--train` (VERDICT r4 #2) runs the same protocol in TRAIN mode: a plain
+unsharded whole-scene train step (same model, same scene, loss + backward
++ Adam) against the tier-3 spatial train step at mesh=1, plus the
+ghost-cap sweep — the points that fit the TRAIN-side ghost-tax constants
+(comm_audit.GHOST_TAX_TRAIN_*). The backward pass roughly doubles row
+traffic through the ghost buffers and differentiates every ppermute, so
+the inference-fit tax did not transfer on trust.
+
+Usage: python scripts/study_mesh1_overhead.py [--iters 20] [--ghost-sweep]
+       python scripts/study_mesh1_overhead.py --train [--ghost-sweep]
 """
 
 import argparse
@@ -51,13 +60,124 @@ def timed(fn, *args, iters=20, warmup=2):
     return wall, busy
 
 
+def _affine_fit(ratios, overheads):
+    """Least-squares (fixed, coeff) for overhead ≈ fixed + coeff·ratio."""
+    A = np.stack([np.ones(len(ratios)), np.asarray(ratios)], axis=1)
+    sol, *_ = np.linalg.lstsq(A, np.asarray(overheads), rcond=None)
+    return float(sol[0]), float(sol[1])
+
+
+def main_train(args):
+    """TRAIN-mode protocol study (VERDICT r4 #2): plain unsharded
+    whole-scene train step vs tier-3 spatial train step at mesh=1, plus
+    the ghost-cap sweep that fits the train-side tax constants.
+
+    Config: `scannet_seg` — the config whose train efficiency the §13
+    projection actually quotes (its crop-DP step is the measured train
+    anchor), on one 65536-pt surface scene (the 8×8192 crop budget as a
+    single spatial scene). A first attempt used `scannet_whole_scene`;
+    its B=1 N=81920 TRAIN graph never finished the remote compile inside
+    40 min (recorded negative — use the flagship train config, whose
+    step compiles in minutes every bench round)."""
+    import jax.numpy as jnp
+
+    from gridgcn_tpu.configs import presets
+    from gridgcn_tpu.configs.base import apply_overrides
+    from gridgcn_tpu.data.synthetic import synthetic_scene_surface
+    from gridgcn_tpu.models.build import init_model
+    from gridgcn_tpu.parallel.mesh import make_mesh
+    from gridgcn_tpu.parallel.spatial_train import (
+        make_spatial_train_step, shard_scene_batch)
+    from gridgcn_tpu.train.steps import create_train_state, make_train_step
+
+    cfg = presets.get("scannet_seg")
+    N = cfg.data.num_points * cfg.data.batch_size      # 65536-pt scene
+    cfg = apply_overrides(cfg, {"data.num_points": N,
+                                "data.batch_size": 1,
+                                "data.augment": False})
+    model, variables = init_model(cfg)
+    xyz = np.asarray(synthetic_scene_surface(N, seed=7), np.float32)
+    mask = np.ones((N,), bool)
+    labels = np.random.default_rng(0).integers(
+        0, cfg.model.num_classes, N).astype(np.int32)
+
+    def runner(step, state, batch, rng):
+        cell = {"s": state}
+
+        def fn():
+            cell["s"], m = step(cell["s"], batch, rng)
+            return m["loss"]
+        return fn
+
+    rng = jax.random.PRNGKey(0)
+
+    # ---- plain unsharded whole-scene train step (the zero-protocol bar;
+    # the SAME model/scene/optimizer the tier-3 step runs, so the gap is
+    # pure protocol overhead exactly as in the inference study) ----
+    state_p = create_train_state(cfg, model, variables, steps_per_epoch=8)
+    plain = make_train_step(cfg, model, donate=False)
+    batch_p = {"xyz": jnp.asarray(xyz)[None],
+               "label": jnp.asarray(labels)[None],
+               "mask": jnp.asarray(mask)[None]}
+    print("compiling plain train step ...", flush=True)
+    t_plain, b_plain = timed(runner(plain, state_p, batch_p, rng),
+                             iters=args.iters)
+    print(f"plain train step:       {t_plain:8.2f} ms wall, "
+          f"{b_plain and round(b_plain, 2)} busy", flush=True)
+
+    # ---- tier-3 spatial train step at D=1, full-share + swept caps ----
+    mesh = make_mesh(1)
+    sbatch = shard_scene_batch(cfg, xyz, labels, mask, mesh, N)
+    points = []
+    for div in (0, 2, 4, 8):            # 0 = full-share default (ratio ~2)
+        if div:
+            caps = tuple(max(8, l.n_centers // div)
+                         for l in cfg.model.layers)
+        else:
+            caps = tuple(max(8, l.n_centers) for l in cfg.model.layers)
+        ratio = sum(2 * c for c in caps) / sum(
+            l.n_centers for l in cfg.model.layers)
+        state_s = create_train_state(cfg, model, variables,
+                                     steps_per_epoch=8)
+        sstep = make_spatial_train_step(cfg, mesh, tier="resident_ml",
+                                        ghost_cap=caps if div else 0)
+        print(f"compiling tier-3 train step (div={div}) ...", flush=True)
+        t_s, b_s = timed(runner(sstep, state_s, sbatch, rng),
+                         iters=args.iters)
+        have_busy = bool(b_s and b_plain)
+        m_s, mp = (b_s, b_plain) if have_busy else (t_s, t_plain)
+        unit = "busy" if have_busy else "wall (no trace)"
+        over = m_s / mp - 1
+        points.append((ratio, over))
+        tag = "full-share" if not div else f"share/{div}"
+        print(f"tier-3 TRAIN {tag:>10}: {m_s:8.2f} ms {unit} "
+              f"(ratio {ratio:.3f}; +{over * 100:.1f}% over plain)",
+              flush=True)
+        if not args.ghost_sweep and div:
+            break                        # one comparison point suffices
+
+    if args.ghost_sweep and len(points) >= 3:
+        fixed, coeff = _affine_fit([p[0] for p in points],
+                                   [p[1] for p in points])
+        print(f"TRAIN tax affine fit: fixed={fixed:.4f} "
+              f"coeff={coeff:.4f}  (inference fit: 0.0096 + 0.1631·ratio)")
+        print("-> update comm_audit.GHOST_TAX_TRAIN_FIXED/COEFF with these "
+              "constants and the measured points as provenance")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--ghost-sweep", action="store_true",
                     help="also sweep tier-3 ghost_cap at D=1 to validate "
                          "the linear ghost-compute-tax model (round 4)")
+    ap.add_argument("--train", action="store_true",
+                    help="TRAIN-mode protocol study (VERDICT r4 #2)")
     args = ap.parse_args()
+
+    if args.train:
+        main_train(args)
+        return
 
     from gridgcn_tpu.configs import presets
     from gridgcn_tpu.data.synthetic import synthetic_scene_surface

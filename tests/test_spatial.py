@@ -524,6 +524,46 @@ def test_tier3_resident_ml_equivalence(trained_seg_setup):
     _check_equiv("tier3", acc, s)
 
 
+def test_scene_batched_tier3_matches_per_scene(trained_seg_setup):
+    """VERDICT r4 #7: scene-batch DP composed with tier-3 spatial sharding
+    on a 2-D (data=2 × space=4) mesh reproduces the per-scene 1-D tier-3
+    outputs scene for scene — the pod-scale deployment shape (scenes ride
+    the data axis, each scene's voxel slabs ride its own 4-chip ring)."""
+    from gridgcn_tpu.parallel.mesh import make_mesh2d
+    from gridgcn_tpu.parallel.resident_ml import (
+        resident_ml_seg_predict, resident_ml_seg_predict_scenes)
+
+    s = trained_seg_setup
+    cfg = s["cfg"]
+    rng_np = np.random.default_rng(77)
+    N = 4096
+    scenes = np.stack([
+        rng_np.uniform((-0.9, -1, -1), (1.1, 1, 1),
+                       size=(N, 3)).astype(np.float32) for _ in range(2)])
+    masks = np.ones((2, N), bool)
+
+    # shared static capacity: the per-point RNG bit draw is shaped by the
+    # padded capacity, so it must be identical in both paths
+    key = jax.random.PRNGKey(5)
+    keys = jax.random.split(key, 2)
+    mesh1d = make_mesh(4)
+    per_scene = [resident_ml_seg_predict(cfg, s["variables"], scenes[b],
+                                         masks[b], mesh1d, capacity=N,
+                                         rng=keys[b])
+                 for b in range(2)]
+
+    mesh2d = make_mesh2d(2, 4)
+    batched = resident_ml_seg_predict_scenes(cfg, s["variables"], scenes,
+                                             masks, mesh2d, capacity=N,
+                                             rng=key)
+    assert batched.shape == (2, N, cfg.model.num_classes)
+    for b in range(2):
+        np.testing.assert_allclose(batched[b], per_scene[b],
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"scene {b}: 2-D mesh output "
+                                           f"diverges from per-scene tier 3")
+
+
 def test_boundary_band_detects_starved_ghost_cap(trained_seg_setup):
     """Mutation check (VERDICT r2 #4): tier 3 with ghost_cap=1 (≈ no ghosts
     shipped) must fail the boundary-band logit-distance gate — stale/zero

@@ -115,3 +115,37 @@ def test_preset_scale_convergence_s3dis_on_hardware():
     assert rec["final_miou"] >= floor, (
         f"preset-scale s3dis convergence regressed: "
         f"{rec['final_miou']:.4f} < {floor}")
+
+
+@pytest.mark.skipif(not _ON, reason="set GRIDGCN_TPU_TESTS=1 to run on TPU")
+def test_preset_scale_convergence_field_on_hardware():
+    """Re-runs the SENSITIVE preset-scale convergence gate (VERDICT r4 #4):
+    the s3dis_seg preset on the feature-FIELD task, whose labels are
+    thresholded smooth hidden fields observed only through noisy per-point
+    features — decidable ONLY by neighborhood aggregation of features, with
+    a mid-band plateau where a bf16-sized quality regression moves the
+    metric instead of saturating (the modelnet40_full_shapes40 and
+    s3dis_seg_surface gates plateau at 1.0/0.999 and are smoke checks, not
+    regression detectors — see accuracy_targets.json)."""
+    import json as _json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    targets = _json.load(open(os.path.join(
+        repo, "gridgcn_tpu", "train", "accuracy_targets.json")))
+    t = targets["s3dis_seg_field"]
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [env.get("PYTHONPATH"), repo] if p)
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "convergence.py"),
+         "--run", "field", "--epochs-seg", "12"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=3000)
+    assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-3000:]
+    rec = _json.loads([l for l in out.stdout.splitlines()
+                       if l.startswith('{"run"')][-1])
+    floor = t["target"] - t["short_run_allowance"]
+    assert rec["final_overall_acc"] >= floor, (
+        f"preset-scale FIELD convergence regressed: "
+        f"{rec['final_overall_acc']:.4f} < {floor}")
