@@ -230,7 +230,15 @@ def sample_centers_cas(table: VoxelTable, M: int, key: jax.Array,
     `cas_iters` = number of batched challenge rounds (each round issues M
     challenges in parallel). Approximate-CAS, provably ≥ RVS coverage in
     expectation (§4.2 property test). approx=True: sort-free threshold
-    sampling for the init and challenger picks (see _cas_one)."""
+    sampling for the init and challenger picks (see _cas_one).
+
+    cas_iters=0 IS RVS by definition (CAS's initialization is random voxel
+    sampling), so it dispatches to the plain RVS sampler — the CAS
+    machinery (coverage stencils, challenger draws) otherwise costs
+    ~0.97 ms/batch-16 even at zero rounds (round-5 decomposition,
+    scripts/study_cas_premium.py)."""
+    if cas_iters == 0:
+        return sample_centers_rvs(table, M, key, approx=approx)
     B = table.occupancy.shape[0]
     keys = jax.random.split(key, B)
     return jax.vmap(lambda o, k, sv: _cas_one(

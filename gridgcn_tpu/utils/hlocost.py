@@ -57,6 +57,13 @@ _CALLS_RE = re.compile(r"calls=%?([\w.\-]+)")
 # walk a fused gather's table operand back to a fusion parameter
 _TRANSPARENT = ("pad", "bitcast", "reshape", "copy", "convert", "transpose",
                 "clamp", "slice")
+# elementwise ops fused INTO a gather's table operand (compute-on-demand:
+# only the gathered rows are evaluated) — walk through to the table param
+# via the first non-constant operand
+_ELEMENTWISE = ("multiply", "add", "subtract", "divide", "maximum",
+                "minimum", "negate", "abs", "exponential", "select",
+                "and", "or", "xor", "compare")
+_VALUELESS = ("constant", "iota", "broadcast")
 
 
 def shape_bytes(shape_str: str) -> int:
@@ -152,6 +159,17 @@ def _trace_to_param(comp: list[Instr], name: str) -> int | None:
             name = instr.operands[0]
             seen += 1
             continue
+        if instr.opcode in _ELEMENTWISE:
+            nxt = None
+            for o in instr.operands:
+                prod = by_name.get(o)
+                if prod is not None and prod.opcode not in _VALUELESS:
+                    nxt = o
+                    break
+            if nxt is not None:
+                name = nxt
+                seen += 1
+                continue
         return None
     return None
 
