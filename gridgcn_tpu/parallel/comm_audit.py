@@ -126,15 +126,16 @@ MEASURED_TIER2_REPL_FRAC = {
 # (VERDICT r4 weak #5: the r4 artifact carried volumes but no efficiencies).
 # Provenance: whole-scene inference = the bench trace's busy_ms on the
 # surface scene (BENCH_r04; the inference surface of the flagship scannet
-# family); train step = the r4 default-path (bf16 + f32 BN) full train-step
-# wall time — trace busy runs ~1 ms lower through the tunnel, making the
-# projected efficiencies conservative. Fingerprinted like every measured
-# anchor; re-measure with bench.py / study_train_tax.py when stale.
+# family, round-5 run after the interp-layout fix); train step = the
+# default-path (bf16 + f32 BN) full train-step wall time from the same
+# round-5 bench — trace busy runs ~1 ms lower through the tunnel, making
+# the projected efficiencies conservative. Fingerprinted like every
+# measured anchor; re-measure with bench.py when stale.
 MEASURED_BUSY_MS = {
-    "whole_scene_inference": {"ms": 12.29,
+    "whole_scene_inference": {"ms": 12.13,
                               "preset": "scannet_whole_scene",
                               "fingerprint": "3151239c4c9321ae"},
-    "scannet_seg_train_step": {"ms": 30.96,
+    "scannet_seg_train_step": {"ms": 30.26,
                                "preset": "scannet_seg",
                                "fingerprint": "0c370ccbb15a3f2a"},
 }
