@@ -80,11 +80,18 @@ def evaluate(ckpt_dir: str, latency: bool = False, votes: int = 1,
 
 def evaluate_whole_scenes(ckpt_dir: str, votes: int = 3, mesh_devices: int = 0,
                           resident: bool = False, resident_ml: bool = False,
-                          log_path=None, voxel_size: float = 0.05):
+                          log_path=None, voxel_size: float = 0.05,
+                          scene_batch: int = 0):
     """Whole-scene segmentation eval (SURVEY §3.4): every scene is fed at
     full size (optionally spatially sharded across the mesh) `votes` times
     with different CAGQ keys; per-point logits are averaged (the reference's
-    block-merging/voting protocol) before the confusion matrix."""
+    block-merging/voting protocol) before the confusion matrix.
+
+    `scene_batch` B > 1 (requires --resident-ml and B | mesh_devices)
+    evaluates B scenes CONCURRENTLY on a 2-D (scene × slab) mesh — the
+    F-19 ∘ F-22 composition (VERDICT r4 #7): each scene's voxel slabs ride
+    its own (mesh_devices / B)-chip spatial ring. Outputs match the
+    per-scene path (test_scene_batched_tier3_matches_per_scene)."""
     import numpy as np
 
     from gridgcn_tpu.parallel.mesh import make_mesh
@@ -132,16 +139,70 @@ def evaluate_whole_scenes(ckpt_dir: str, votes: int = 3, mesh_devices: int = 0,
 
     from gridgcn_tpu.parallel.spatial import suggest_capacity
 
+    def metric_mask_for(labels, mask):
+        # metric mask only — the forward still sees every point; the
+        # reference ScanNet protocol scores annotated points/voxels only
+        return (mask & (labels != cfg.model.ignore_label)
+                if cfg.model.ignore_label is not None else mask)
+
+    if scene_batch and scene_batch > 1:
+        if not resident_ml:
+            raise ValueError("--scene-batch requires --resident-ml")
+        if mesh_devices % scene_batch:
+            raise ValueError(f"--scene-batch {scene_batch} must divide "
+                             f"--mesh {mesh_devices}")
+        from gridgcn_tpu.parallel.mesh import (
+            DATA_AXIS, SPACE_AXIS, make_mesh2d)
+        from gridgcn_tpu.parallel.resident_ml import (
+            resident_ml_seg_predict_scenes)
+
+        mesh2d = make_mesh2d(scene_batch, mesh_devices // scene_batch)
+        fwd2 = make_resident_ml_forward(cfg, mesh2d, axis_name=SPACE_AXIS,
+                                        batch_axis=DATA_AXIS)
+        S = val_ds.size
+        for g0 in range(0, S, scene_batch):
+            grp = list(range(g0, min(g0 + scene_batch, S)))
+            grp_p = grp + [grp[0]] * (scene_batch - len(grp))
+            xyzs = np.stack([val_ds.points[i] for i in grp_p])
+            labs = [val_ds.labels[i] for i in grp]
+            feats = (np.stack([val_ds.features[i] for i in grp_p])
+                     if val_ds.features is not None else None)
+            masks = np.ones(xyzs.shape[:2], bool)
+            acc = None
+            for v in range(votes):
+                lg = resident_ml_seg_predict_scenes(
+                    cfg, variables, xyzs, masks, mesh2d,
+                    rng=jax.random.PRNGKey(1000 * g0 + v),
+                    feats=feats, fwd=fwd2)
+                acc = lg if acc is None else acc + lg
+            for j, i in enumerate(grp):
+                mm = metric_mask_for(labs[j], masks[j])
+                cm = cm + confusion_matrix(
+                    jnp.asarray(acc[j])[None], jnp.asarray(labs[j])[None],
+                    cfg.model.num_classes, jnp.asarray(mm)[None])
+                vox_cm = vox_cm + voxel_confusion(
+                    xyzs[j], acc[j], labs[j], mm, voxel_size,
+                    cfg.model.num_classes)
+        s_ = summarize_confusion(cm)
+        sv = summarize_confusion(jnp.asarray(vox_cm, jnp.float32))
+        s_["voxel_acc"] = sv["overall_acc"]
+        log.log("whole_scene_eval", scenes=S, votes=votes,
+                scene_batch=scene_batch,
+                overall_acc=float(s_["overall_acc"]),
+                mean_class_acc=float(s_["mean_class_acc"]),
+                miou=float(s_["miou"]),
+                voxel_size=voxel_size,
+                voxel_acc=float(sv["overall_acc"]))
+        log.close()
+        return s_
+
     for s in range(val_ds.size):
         xyz = val_ds.points[s]
         labels = val_ds.labels[s]
         feat = (val_ds.features[s]
                 if val_ds.features is not None else None)
         mask = np.ones(xyz.shape[0], bool)
-        # metric mask only — the forward still sees every point; the
-        # reference ScanNet protocol scores annotated points/voxels only
-        metric_mask = (mask & (labels != cfg.model.ignore_label)
-                       if cfg.model.ignore_label is not None else mask)
+        metric_mask = metric_mask_for(labels, mask)
         if fwd_resident is not None:
             # votes ride inside predict_resident (fold_in per vote), so
             # partitioning and parameter staging happen once per scene
@@ -296,6 +357,10 @@ def main(argv=None):
                    help="with --mesh: multi-layer feature-halo sharding — "
                         "EVERY pyramid level stays sharded; boundary halos "
                         "ride ppermute between layers (F-22 tier 3)")
+    p.add_argument("--scene-batch", type=int, default=0,
+                   help="with --mesh N --resident-ml: evaluate B scenes "
+                        "concurrently on a 2-D (scene x slab) mesh — B "
+                        "scene rows x N/B spatial shards (B must divide N)")
     p.add_argument("--log", default=None)
     p.add_argument("--target", default=None,
                    choices=["modelnet40", "s3dis", "scannet"],
@@ -317,7 +382,8 @@ def main(argv=None):
                                   resident=args.resident,
                                   resident_ml=args.resident_ml,
                                   log_path=args.log,
-                                  voxel_size=args.voxel_size)
+                                  voxel_size=args.voxel_size,
+                                  scene_batch=args.scene_batch)
     else:
         s = evaluate(args.ckpt_dir, latency=args.latency,
                      votes=1 if args.votes is None else args.votes,
