@@ -117,7 +117,7 @@ def run_s3dis(epochs: int):
     return final["miou"]
 
 
-def run_field(epochs: int, seed: int = 0):
+def run_field(epochs: int, seed: int = 0, extra: dict | None = None):
     """`s3dis_seg` preset on the feature-FIELD task (VERDICT r4 #4): labels
     are thresholded smooth hidden fields observed only through noisy
     per-point features, so (a) the gate requires NEIGHBORHOOD aggregation
@@ -137,6 +137,7 @@ def run_field(epochs: int, seed: int = 0):
         "train.eval_every": max(epochs // 10, 1),
         "train.ckpt_every": epochs,
         "train.ckpt_dir": tempfile.mkdtemp(prefix="conv_field_"),
+        **(extra or {}),
     })
     cfg = dataclasses.replace(cfg, name="s3dis_seg+field")
     log = tempfile.mktemp(suffix=".jsonl")
@@ -162,6 +163,10 @@ def main():
     ap.add_argument("--epochs-seg", type=int, default=60)
     ap.add_argument("--seed", type=int, default=0,
                     help="train seed (field arm: paired-seed spread)")
+    ap.add_argument("--override", action="append", default=[],
+                    help="dotted config override k=v (field arm only; e.g. "
+                         "model.dtype=bfloat16 to measure a known "
+                         "regression against the gate)")
     args = ap.parse_args()
     if args.run in ("cls", "both", "all"):
         run_cls(args.epochs_cls)
@@ -170,7 +175,9 @@ def main():
     if args.run in ("s3dis", "all"):
         run_s3dis(args.epochs_seg)
     if args.run in ("field", "all"):
-        run_field(args.epochs_seg, seed=args.seed)
+        from gridgcn_tpu.configs.base import parse_cli_overrides
+        run_field(args.epochs_seg, seed=args.seed,
+                  extra=parse_cli_overrides(args.override))
 
 
 if __name__ == "__main__":

@@ -524,6 +524,40 @@ def test_tier3_resident_ml_equivalence(trained_seg_setup):
     _check_equiv("tier3", acc, s)
 
 
+def test_scene_batched_api_error_paths():
+    """make_mesh2d / predict_scenes fail loudly on misuse: over-sized
+    meshes, a 1-D mesh where a 2-D one is needed, scene counts that do
+    not divide the data axis, missing features, and train mode on the
+    batched forward."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from gridgcn_tpu.parallel.mesh import make_mesh2d
+    from gridgcn_tpu.parallel.resident_ml import (
+        make_resident_ml_forward, resident_ml_seg_predict_scenes)
+
+    cfg = presets.get("synthetic_tiny_seg")
+    with _pytest.raises(ValueError, match="devices are available"):
+        make_mesh2d(4, 4)                    # 16 > 8 fake devices
+    mesh2d = make_mesh2d(2, 4)
+    mesh1d = make_mesh(4)
+
+    xyz = np.zeros((2, 64, 3), np.float32)
+    masks = np.ones((2, 64), bool)
+    with _pytest.raises(ValueError, match="mesh"):
+        resident_ml_seg_predict_scenes(cfg, {}, xyz, masks, mesh1d)
+    with _pytest.raises(ValueError, match="not divisible"):
+        resident_ml_seg_predict_scenes(cfg, {}, xyz[:1], masks[:1], mesh2d)
+    cfg_f = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, in_channels=2))
+    with _pytest.raises(ValueError, match="feats"):
+        resident_ml_seg_predict_scenes(cfg_f, {}, xyz, masks, mesh2d)
+    with _pytest.raises(ValueError, match="eval-only"):
+        make_resident_ml_forward(cfg, mesh2d, batch_axis="data",
+                                 train=True)
+
+
 def test_scene_batched_tier3_matches_per_scene(trained_seg_setup):
     """VERDICT r4 #7: scene-batch DP composed with tier-3 spatial sharding
     on a 2-D (data=2 × space=4) mesh reproduces the per-scene 1-D tier-3
