@@ -75,31 +75,37 @@ def measurement_fingerprint(cfg: Config) -> str:
 GHOST_TAX_FIXED = 0.0096
 GHOST_TAX_COEFF = 0.1631
 
-# TRAIN-mode ghost-tax constants (VERDICT r4 #2): the r4 train projection
-# reused the EVAL-mode fit above on trust; round 5 measured the train side
-# on the real chip (`study_mesh1_overhead.py --train --ghost-sweep`,
-# mesh=1, scannet_seg on one 65536-pt surface scene, device-busy timing):
-# plain train step 11.26 ms busy; tier-3 spatial train step at ghost
-# ratios 0.253/0.5/1/2 → +4.6/+5.5/+6.8/+11.3%. Least-squares affine:
+# TRAIN-mode ghost-tax fits (VERDICT r4 #2): the r4 train projection
+# reused the EVAL-mode fit above on trust; round 5 measured the train
+# side on the real chip (`study_mesh1_overhead.py --train --ghost-sweep
+# [--preset ...]`, mesh=1, one B=1 scene, device-busy timing) — on TWO
+# configs, which exposed that the slope is CONFIG-dependent, not
+# mode-dependent:
 #
-#     tax_train(ratio) = 0.0342 + 0.0383 · ratio
+#   scannet_seg scene (65536 pts, 2720 centers total, N/M ≈ 24):
+#     plain 11.26 ms; ratios 0.25/0.5/1/2 → +4.6/+5.5/+6.8/+11.3%
+#     → tax_train = 0.0342 + 0.0383·ratio
+#   scannet_whole_scene (81920 pts, 10880 centers, N/M ≈ 7.5):
+#     plain 16.92 ms; same ratios → +5.0/+7.8/+16.2/+30.3%
+#     → tax_train = 0.0110 + 0.1465·ratio  (≈ the eval fit's 0.163)
 #
-# The slope is ~4× SMALLER than the eval fit's 0.1631 — the backward pass
-# does NOT double the ghost toll; it adds large ghost-ratio-independent
-# work (weight-gradient matmuls, optimizer, BN stats) that dilutes the
-# ghost rows' share of the step, and the ghost rows' own backward is
-# masked out of the loss so their gradient traffic is shallow. The r4
-# train projections (72.3% at D=8 default caps) were therefore
-# PESSIMISTIC; the measured-tax figure is 86% default / 91% quarter-share.
-# The +3.4% fixed term is the train protocol's real overhead (shard_map
-# train plumbing, cross-shard BN pmean, owned-masked loss) — unlike the
-# r4 inference "fixed term", no kernel bug was found behind it at these
-# magnitudes. Fit config ≠ the whole-scene preset deliberately: the
-# projection quotes scannet_seg's train efficiency, so the tax is fit on
-# scannet_seg (the whole-scene preset's B=1 train graph also never
-# finished its remote compile — recorded in the study docstring).
-GHOST_TAX_TRAIN_FIXED: float | None = 0.0342
-GHOST_TAX_TRAIN_COEFF: float | None = 0.0383
+# Mechanism: the slope is the share of step time in CENTER-level work —
+# the only work ghost rows inflate. The center-light scannet_seg scene
+# step is dominated by N-sized dense work (L0 + decoder + head +
+# backward), so ghosts barely register; the center-heavy whole-scene
+# config keeps its high slope in training too. (The r4 worry that "the
+# backward doubles the ghost toll" is refuted either way — train slopes
+# never EXCEED the eval slope.) Anchors are keyed per config with
+# fingerprints like every other measurement; unmeasured configs fall
+# back to the EVAL fit, which is the conservative (steepest-measured)
+# end. The small fixed terms are distributed protocol cost
+# (study_tier3_fixed_overhead.py --train: no dominant op).
+MEASURED_TRAIN_GHOST_TAX = {
+    "scannet_seg": {"fixed": 0.0342, "coeff": 0.0383,
+                    "fingerprint": "0c370ccbb15a3f2a"},
+    "scannet_whole_scene": {"fixed": 0.0110, "coeff": 0.1465,
+                            "fingerprint": "3151239c4c9321ae"},
+}
 
 # Tier-2 replicated fractions MEASURED on the real chip (scripts/
 # study_tier2_compute.py, trace-driven device-busy split — wall time
@@ -160,16 +166,21 @@ def ghost_compute_tax(cfg: Config, n_devices: int, ghost_cap=0,
     protocol: GHOST_TAX_FIXED + GHOST_TAX_COEFF × Σ(2·H_i) / Σ(n_centers_i
     / D) — affine in the ghost/owned row ratio, fit to the measured
     mesh=1 busy-time sweep (see the constants above). `train=True` uses
-    the TRAIN-mode fit when one is recorded (falls back to the eval fit
-    otherwise — the r4 approximation)."""
+    the per-config TRAIN-mode fit when one is recorded for this config
+    (MEASURED_TRAIN_GHOST_TAX, fingerprint-checked); unmeasured configs
+    fall back to the eval fit — the conservative (steepest-measured)
+    end, since measured train slopes never exceed it."""
     layers = cfg.model.layers
     caps = _normalize_caps(ghost_cap, len(layers))
     own = sum(l.n_centers / n_devices for l in layers)
     ghosts = sum(2 * (caps[i] or max(8, l.n_centers // n_devices))
                  for i, l in enumerate(layers))
     fixed, coeff = GHOST_TAX_FIXED, GHOST_TAX_COEFF
-    if train and GHOST_TAX_TRAIN_FIXED is not None:
-        fixed, coeff = GHOST_TAX_TRAIN_FIXED, GHOST_TAX_TRAIN_COEFF
+    if train:
+        anchor = MEASURED_TRAIN_GHOST_TAX.get(cfg.name)
+        if anchor is not None and \
+                measurement_fingerprint(cfg) == anchor["fingerprint"]:
+            fixed, coeff = anchor["fixed"], anchor["coeff"]
     return fixed + coeff * ghosts / max(own, 1.0)
 
 
@@ -364,7 +375,9 @@ def comm_report(cfg: Config, n_devices: int,
         "time_ms": total_dir_bytes / ICI_BYTES_PER_S * 1e3,
         "ghost_compute_tax": tax,
         "ghost_compute_tax_train": tax_train,
-        "train_tax_is_measured": GHOST_TAX_TRAIN_FIXED is not None,
+        "train_tax_is_measured": (
+            (a := MEASURED_TRAIN_GHOST_TAX.get(cfg.name)) is not None
+            and measurement_fingerprint(cfg) == a["fingerprint"]),
     }
 
     # ---- projection ----

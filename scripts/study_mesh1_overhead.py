@@ -75,10 +75,13 @@ def main_train(args):
     Config: `scannet_seg` — the config whose train efficiency the §13
     projection actually quotes (its crop-DP step is the measured train
     anchor), on one 65536-pt surface scene (the 8×8192 crop budget as a
-    single spatial scene). A first attempt used `scannet_whole_scene`;
-    its B=1 N=81920 TRAIN graph never finished the remote compile inside
-    40 min (recorded negative — use the flagship train config, whose
-    step compiles in minutes every bench round)."""
+    single spatial scene). Postmortem note: a first attempt used
+    `scannet_whole_scene` and appeared to hang >40 min in compile — that
+    was a WEDGED remote-compile queue (caused by an earlier timeout-kill
+    of a traced bench process; see the verify skill's warning), not the
+    graph: re-measured on a healthy queue, the B=1 N=81920 whole-scene
+    TRAIN graph compiles in 28.9 s. scannet_seg remains the right config
+    here because §13's train projection quotes IT."""
     import jax.numpy as jnp
 
     from gridgcn_tpu.configs import presets
@@ -90,11 +93,12 @@ def main_train(args):
         make_spatial_train_step, shard_scene_batch)
     from gridgcn_tpu.train.steps import create_train_state, make_train_step
 
-    cfg = presets.get("scannet_seg")
-    N = cfg.data.num_points * cfg.data.batch_size      # 65536-pt scene
+    cfg = presets.get(args.preset)
+    N = cfg.data.num_points * cfg.data.batch_size
     cfg = apply_overrides(cfg, {"data.num_points": N,
                                 "data.batch_size": 1,
                                 "data.augment": False})
+    print(f"config {cfg.name}: one {N}-pt scene, B=1", flush=True)
     model, variables = init_model(cfg)
     xyz = np.asarray(synthetic_scene_surface(N, seed=7), np.float32)
     mask = np.ones((N,), bool)
@@ -173,6 +177,9 @@ def main():
                          "the linear ghost-compute-tax model (round 4)")
     ap.add_argument("--train", action="store_true",
                     help="TRAIN-mode protocol study (VERDICT r4 #2)")
+    ap.add_argument("--preset", default="scannet_seg",
+                    help="train-mode config (scannet_seg = the fit config; "
+                         "scannet_whole_scene = the transfer check)")
     args = ap.parse_args()
 
     if args.train:
