@@ -75,36 +75,43 @@ def measurement_fingerprint(cfg: Config) -> str:
 GHOST_TAX_FIXED = 0.0096
 GHOST_TAX_COEFF = 0.1631
 
-# TRAIN-mode ghost-tax fits (VERDICT r4 #2): the r4 train projection
-# reused the EVAL-mode fit above on trust; round 5 measured the train
-# side on the real chip (`study_mesh1_overhead.py --train --ghost-sweep
-# [--preset ...]`, mesh=1, one B=1 scene, device-busy timing) — on TWO
-# configs, which exposed that the slope is CONFIG-dependent, not
-# mode-dependent:
+# Per-config / per-mode ghost-tax fits (round 5, completing the 2×2 —
+# `study_mesh1_overhead.py [--train] --ghost-sweep --preset ...`, mesh=1,
+# one B=1 scene, device-busy timing, least squares over the ghost ratios
+# 0.25/0.5/1/2):
 #
-#   scannet_seg scene (65536 pts, 2720 centers total, N/M ≈ 24):
-#     plain 11.26 ms; ratios 0.25/0.5/1/2 → +4.6/+5.5/+6.8/+11.3%
-#     → tax_train = 0.0342 + 0.0383·ratio
-#   scannet_whole_scene (81920 pts, 10880 centers, N/M ≈ 7.5):
-#     plain 16.92 ms; same ratios → +5.0/+7.8/+16.2/+30.3%
-#     → tax_train = 0.0110 + 0.1465·ratio  (≈ the eval fit's 0.163)
+#   | config (B=1 scene)           | eval fit          | train fit        |
+#   |------------------------------|-------------------|------------------|
+#   | scannet_whole_scene (N/M≈7.5)| 0.0096 + 0.1631·r | 0.0110 + 0.1465·r|
+#   | scannet_seg scene  (N/M≈24)  | 0.0147 + 0.0382·r | 0.0342 + 0.0383·r|
 #
-# Mechanism: the slope is the share of step time in CENTER-level work —
-# the only work ghost rows inflate. The center-light scannet_seg scene
-# step is dominated by N-sized dense work (L0 + decoder + head +
-# backward), so ghosts barely register; the center-heavy whole-scene
-# config keeps its high slope in training too. (The r4 worry that "the
-# backward doubles the ghost toll" is refuted either way — train slopes
-# never EXCEED the eval slope.) Anchors are keyed per config with
-# fingerprints like every other measurement; unmeasured configs fall
-# back to the EVAL fit, which is the conservative (steepest-measured)
-# end. The small fixed terms are distributed protocol cost
-# (study_tier3_fixed_overhead.py --train: no dominant op).
-MEASURED_TRAIN_GHOST_TAX = {
-    "scannet_seg": {"fixed": 0.0342, "coeff": 0.0383,
-                    "fingerprint": "0c370ccbb15a3f2a"},
-    "scannet_whole_scene": {"fixed": 0.0110, "coeff": 0.1465,
-                            "fingerprint": "3151239c4c9321ae"},
+#   (raw overhead points — whole_scene eval +5.0/+8.4/+18.4/+33.2%,
+#    train +5.0/+7.8/+16.2/+30.3% over plain 16.92 ms busy;
+#    scannet_seg eval +2.6/+3.5/+4.8/+9.3% over plain 7.73 ms busy,
+#    train +4.6/+5.5/+6.8/+11.3% over plain 11.26 ms busy.)
+#
+# The round-5 reading: the slope is CONFIG-dependent, not MODE-dependent
+# — within a config, eval and train slopes agree to the fit error, while
+# across configs they differ 4×. Mechanism: the slope is the share of
+# step time in CENTER-level work (the only work ghost rows inflate); the
+# center-light scannet_seg scene step is dominated by N-sized dense work,
+# so ghosts barely register, while the center-heavy whole-scene config
+# keeps its high slope in both modes. (The r4 worry that the backward
+# doubles the ghost toll is refuted: train slopes never exceed eval's.)
+# Anchors are fingerprinted like every measurement; unmeasured configs
+# fall back to the module-level eval fit above — the steepest measured
+# slope, so the fallback is conservative. The small fixed terms are
+# distributed protocol cost (study_tier3_fixed_overhead.py: no dominant
+# op in either mode).
+MEASURED_GHOST_TAX = {
+    ("scannet_seg", "eval"): {"fixed": 0.0147, "coeff": 0.0382,
+                              "fingerprint": "0c370ccbb15a3f2a"},
+    ("scannet_seg", "train"): {"fixed": 0.0342, "coeff": 0.0383,
+                               "fingerprint": "0c370ccbb15a3f2a"},
+    ("scannet_whole_scene", "eval"): {"fixed": 0.0096, "coeff": 0.1631,
+                                      "fingerprint": "3151239c4c9321ae"},
+    ("scannet_whole_scene", "train"): {"fixed": 0.0110, "coeff": 0.1465,
+                                       "fingerprint": "3151239c4c9321ae"},
 }
 
 # Tier-2 replicated fractions MEASURED on the real chip (scripts/
@@ -144,6 +151,20 @@ MEASURED_BUSY_MS = {
     "scannet_seg_train_step": {"ms": 30.26,
                                "preset": "scannet_seg",
                                "fingerprint": "0c370ccbb15a3f2a"},
+    # B=1 SCENE-shaped steps (the surfaces spatial sharding actually
+    # shards; mesh=1 sweep plains, round 5) — note the scene step is NOT
+    # the crop-DP step: one 65536-pt scene samples the per-cloud center
+    # budget once (2720 centers) where 8x8192 crops sample it 8x, which
+    # is why the scene step is ~2.7x cheaper per point
+    "scannet_seg_scene_inference": {"ms": 7.73,
+                                    "preset": "scannet_seg",
+                                    "fingerprint": "0c370ccbb15a3f2a"},
+    "scannet_seg_scene_train_step": {"ms": 11.26,
+                                     "preset": "scannet_seg",
+                                     "fingerprint": "0c370ccbb15a3f2a"},
+    "whole_scene_scene_train_step": {"ms": 16.92,
+                                     "preset": "scannet_whole_scene",
+                                     "fingerprint": "3151239c4c9321ae"},
 }
 
 
@@ -163,24 +184,21 @@ def _normalize_caps(ghost_cap, n_layers: int) -> tuple:
 def ghost_compute_tax(cfg: Config, n_devices: int, ghost_cap=0,
                       train: bool = False) -> float:
     """Projected fractional per-shard compute inflation from the tier-3
-    protocol: GHOST_TAX_FIXED + GHOST_TAX_COEFF × Σ(2·H_i) / Σ(n_centers_i
-    / D) — affine in the ghost/owned row ratio, fit to the measured
-    mesh=1 busy-time sweep (see the constants above). `train=True` uses
-    the per-config TRAIN-mode fit when one is recorded for this config
-    (MEASURED_TRAIN_GHOST_TAX, fingerprint-checked); unmeasured configs
-    fall back to the eval fit — the conservative (steepest-measured)
-    end, since measured train slopes never exceed it."""
+    protocol: fixed + coeff × Σ(2·H_i) / Σ(n_centers_i / D) — affine in
+    the ghost/owned row ratio. (fixed, coeff) come from the per-config /
+    per-mode measured fits (MEASURED_GHOST_TAX, fingerprint-checked);
+    unmeasured configs fall back to the module-level eval fit — the
+    steepest measured slope, so the fallback is conservative."""
     layers = cfg.model.layers
     caps = _normalize_caps(ghost_cap, len(layers))
     own = sum(l.n_centers / n_devices for l in layers)
     ghosts = sum(2 * (caps[i] or max(8, l.n_centers // n_devices))
                  for i, l in enumerate(layers))
     fixed, coeff = GHOST_TAX_FIXED, GHOST_TAX_COEFF
-    if train:
-        anchor = MEASURED_TRAIN_GHOST_TAX.get(cfg.name)
-        if anchor is not None and \
-                measurement_fingerprint(cfg) == anchor["fingerprint"]:
-            fixed, coeff = anchor["fixed"], anchor["coeff"]
+    anchor = MEASURED_GHOST_TAX.get((cfg.name, "train" if train else "eval"))
+    if anchor is not None and \
+            measurement_fingerprint(cfg) == anchor["fingerprint"]:
+        fixed, coeff = anchor["fixed"], anchor["coeff"]
     return fixed + coeff * ghosts / max(own, 1.0)
 
 
@@ -376,7 +394,7 @@ def comm_report(cfg: Config, n_devices: int,
         "ghost_compute_tax": tax,
         "ghost_compute_tax_train": tax_train,
         "train_tax_is_measured": (
-            (a := MEASURED_TRAIN_GHOST_TAX.get(cfg.name)) is not None
+            (a := MEASURED_GHOST_TAX.get((cfg.name, "train"))) is not None
             and measurement_fingerprint(cfg) == a["fingerprint"]),
     }
 

@@ -177,23 +177,32 @@ def main():
                          "the linear ghost-compute-tax model (round 4)")
     ap.add_argument("--train", action="store_true",
                     help="TRAIN-mode protocol study (VERDICT r4 #2)")
-    ap.add_argument("--preset", default="scannet_seg",
-                    help="train-mode config (scannet_seg = the fit config; "
-                         "scannet_whole_scene = the transfer check)")
+    ap.add_argument("--preset", default=None,
+                    help="config preset (default: scannet_seg in --train "
+                         "mode, scannet_whole_scene otherwise); batch>1 "
+                         "presets run as ONE B=1 scene of B*N points")
     args = ap.parse_args()
+    if args.preset is None:
+        args.preset = "scannet_seg" if args.train else "scannet_whole_scene"
 
     if args.train:
         main_train(args)
         return
 
     from gridgcn_tpu.configs import presets
+    from gridgcn_tpu.configs.base import apply_overrides
     from gridgcn_tpu.data.synthetic import synthetic_scene_surface
     from gridgcn_tpu.models.build import build_model, init_model
     from gridgcn_tpu.models.fold import fold_inference
     from gridgcn_tpu.parallel.mesh import make_mesh
 
-    cfg = presets.get("scannet_whole_scene")
-    N = cfg.data.num_points
+    cfg = presets.get(args.preset)
+    N = cfg.data.num_points * cfg.data.batch_size
+    if cfg.data.batch_size != 1:
+        cfg = apply_overrides(cfg, {"data.num_points": N,
+                                    "data.batch_size": 1,
+                                    "data.augment": False})
+        print(f"config {cfg.name} as one {N}-pt scene, B=1", flush=True)
     model, variables = init_model(cfg)
     cfg, variables = fold_inference(cfg, variables)
     model = build_model(cfg.model)

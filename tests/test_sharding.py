@@ -151,21 +151,34 @@ def test_comm_audit_accounting():
             c_dec = cfg.model.up_layers[n - 2 - i].mlp[-1]
             assert lvl_rec["refresh_bytes_per_dir"] == H * c_dec * dt
 
-    # GHOST-COMPUTE TAX (VERDICT r3 weak #2): affine in the ghost/owned
-    # row ratio — a fixed protocol term (slab bookkeeping; never reclaimed
-    # by calibration) plus a slope, least-squares fit to the mesh=1
-    # busy-time sweep. Full-share default → ratio ~2 → tax ~0.32, so the
-    # honest tier-3 efficiency sits near 1/1.32, not at the 99.5% the r3
-    # report claimed by pricing only the halo bytes
+    # GHOST-COMPUTE TAX (VERDICT r3 weak #2, per-config anchors round 5):
+    # affine in the ghost/owned row ratio, with (fixed, coeff) from the
+    # per-config / per-mode measured fits (MEASURED_GHOST_TAX) — for
+    # scannet_seg the eval fit is 0.0147 + 0.0382·ratio; an UNMEASURED
+    # config must fall back to the module-level eval fit (the steepest
+    # measured slope, conservative)
     from gridgcn_tpu.parallel.comm_audit import (
-        GHOST_TAX_COEFF, GHOST_TAX_FIXED, ghost_compute_tax)
+        GHOST_TAX_COEFF, GHOST_TAX_FIXED, MEASURED_GHOST_TAX,
+        ghost_compute_tax)
 
     tax = r8["tier3"]["ghost_compute_tax"]
+    a = MEASURED_GHOST_TAX[("scannet_seg", "eval")]
     # ratio ~2x, not exactly: deepest level's H floors at 8 > its share of 4
-    assert abs(tax - (GHOST_TAX_FIXED + 2 * GHOST_TAX_COEFF)) < 0.01
+    assert abs(tax - (a["fixed"] + 2 * a["coeff"])) < 0.01
     assert tax == ghost_compute_tax(cfg, 8)
+    at = MEASURED_GHOST_TAX[("scannet_seg", "train")]
+    tax_tr = r8["tier3"]["ghost_compute_tax_train"]
+    assert abs(tax_tr - (at["fixed"] + 2 * at["coeff"])) < 0.01
+    assert r8["tier3"]["train_tax_is_measured"]
+    # unmeasured config (renamed) → the conservative module-level eval fit
+    import dataclasses as _dc0
+    cfg_unm = _dc0.replace(cfg, name="unmeasured")
+    assert abs(ghost_compute_tax(cfg_unm, 8)
+               - (GHOST_TAX_FIXED + 2 * GHOST_TAX_COEFF)) < 0.01
     proj = r8["projection"]
-    assert 0.70 < proj["tier3_inference_efficiency"] < 0.80
+    c = 1.5
+    expect_inf = c / (c * (1 + tax) + r8["tier3"]["time_ms"])
+    assert abs(proj["tier3_inference_efficiency"] - expect_inf) < 1e-9
     assert 0.0 < proj["tier3_train_efficiency"] <= 1.0
     # halo traffic itself is still noise next to compute: the tax, not the
     # bytes, is what calibration has to shrink
@@ -178,7 +191,7 @@ def test_comm_audit_accounting():
     assert GHOST_TAX_FIXED < r8c["tier3"]["ghost_compute_tax"] < 0.6 * tax
     assert (r8c["projection"]["tier3_inference_efficiency"]
             > proj["tier3_inference_efficiency"])
-    assert r8c["projection"]["tier3_inference_efficiency"] > 0.85
+    assert r8c["projection"]["tier3_inference_efficiency"] > 0.9
     # and the per-level H in the report reflects the sequence
     hc = {l["level"]: l["H"] for l in r8c["tier3"]["levels"]}
     for lvl, c in enumerate(caps):
