@@ -34,26 +34,48 @@ from gridgcn_tpu.train.steps import TrainState
 
 def make_spatial_train_step(cfg: Config, mesh: Mesh, sched=None,
                             class_weights: Optional[jax.Array] = None,
-                            tier: str = "resident", ghost_cap=0):
+                            tier: str = "resident", ghost_cap=0,
+                            batch_axis: Optional[str] = None):
     """Jitted (state, scene_batch, rng) → (state, metrics) step over the
     tier-2 (`tier="resident"`) or tier-3 (`tier="resident_ml"`) forward.
     `scene_batch` comes from `shard_scene_batch`: sx [D,cap,3], sm [D,cap],
     owned [D,cap], label [D,cap], plus edges / origin / vsize / extent.
     `ghost_cap` (tier 3): per-face ghost buffer rows, int or per-level
     sequence — calibrated caps shrink the ghost-compute tax
-    (`resident_ml.calibrate_ghost_cap`, design.md §13 addendum)."""
+    (`resident_ml.calibrate_ghost_cap`, design.md §13 addendum).
+
+    `batch_axis` (tier 3 only) trains scene-batched on a 2-D
+    (`batch_axis`, space) mesh (`mesh.make_mesh2d`): `scene_batch` then
+    comes from `shard_scene_batches` with a LEADING scene axis on every
+    per-scene array, the loss pools owned points across all scenes, and
+    one step's gradient ≡ the pooled per-scene 1-D gradients
+    (test_spatial.test_scene_batched_tier3_train_grads_match_per_scene)."""
+    if batch_axis is not None and tier != "resident_ml":
+        raise ValueError("scene-batched (2-D mesh) spatial training is a "
+                         "tier-3 (resident_ml) protocol")
     if tier == "resident":
         fwd = make_resident_forward(cfg, mesh, train=True)
     elif tier == "resident_ml":
         from gridgcn_tpu.parallel.resident_ml import make_resident_ml_forward
-        fwd = make_resident_ml_forward(cfg, mesh, train=True,
-                                       ghost_cap=ghost_cap)
+        if batch_axis is not None:
+            from gridgcn_tpu.parallel.mesh import SPACE_AXIS
+            fwd = make_resident_ml_forward(cfg, mesh, train=True,
+                                           ghost_cap=ghost_cap,
+                                           axis_name=SPACE_AXIS,
+                                           batch_axis=batch_axis)
+        else:
+            fwd = make_resident_ml_forward(cfg, mesh, train=True,
+                                           ghost_cap=ghost_cap)
     else:
         raise ValueError(f"unknown spatial tier: {tier}")
     num_classes = cfg.model.num_classes
 
     def step(state: TrainState, batch: dict, rng: jax.Array):
         key = jax.random.fold_in(rng, state.step)
+        if batch_axis is not None:
+            # one independent key per scene row (the batched forward's rng
+            # is a key ARRAY [B] — resident_ml docstring)
+            key = jax.random.split(key, batch["sx"].shape[0])
 
         def loss_fn(params):
             v = {"params": params, "batch_stats": state.batch_stats}
@@ -147,4 +169,85 @@ def shard_scene_batch(cfg: Config, xyz: np.ndarray, labels: np.ndarray,
         "origin": jnp.asarray(origin),
         "vsize": jnp.asarray(vsize),
         "extent": jnp.asarray(vsize * res0 / (1.0 + 1e-5)),
+    }
+
+
+def shard_scene_batches(cfg: Config, scenes_xyz: np.ndarray,
+                        labels: np.ndarray, masks: np.ndarray, mesh: Mesh,
+                        capacity: Optional[int] = None,
+                        feats: Optional[np.ndarray] = None) -> dict:
+    """Scene-batched twin of `shard_scene_batch` for 2-D (data × space)
+    spatial TRAINING (VERDICT r4 #7's composition, train side): B scenes
+    [B, N, 3] are each partitioned into Ds slabs exactly as the per-scene
+    path, then stacked — the leading scene axis rides DATA_AXIS, each
+    scene's slabs ride SPACE_AXIS. One static `capacity` (default: the max
+    per-scene suggestion) keeps a single compiled step across scenes.
+    Feeds `make_spatial_train_step(..., tier="resident_ml",
+    batch_axis=DATA_AXIS)` on a `mesh.make_mesh2d` mesh."""
+    from gridgcn_tpu.parallel.mesh import SPACE_AXIS
+    from gridgcn_tpu.parallel.spatial import suggest_capacity
+
+    if SPACE_AXIS not in mesh.axis_names or DATA_AXIS not in mesh.axis_names:
+        raise ValueError(f"need a ('{DATA_AXIS}', '{SPACE_AXIS}') mesh "
+                         f"(make_mesh2d); got axes {mesh.axis_names}")
+    Ds = int(mesh.shape[SPACE_AXIS])
+    scenes_xyz = np.asarray(scenes_xyz, np.float32)
+    masks = np.asarray(masks, bool)
+    labels = np.asarray(labels)
+    B = scenes_xyz.shape[0]
+    if B % int(mesh.shape[DATA_AXIS]):
+        raise ValueError(f"scene count {B} not divisible by the data axis "
+                         f"({mesh.shape[DATA_AXIS]})")
+    C_in = cfg.model.in_channels
+    if C_in and feats is None:
+        raise ValueError(f"cfg.model.in_channels={C_in} requires "
+                         f"feats [B, N, {C_in}]")
+    res0 = cfg.model.layers[0].resolution
+
+    geo = []
+    caps_needed = []
+    for b in range(B):
+        origin, vsize = grid_bounds(jnp.asarray(scenes_xyz[b])[None],
+                                    jnp.asarray(masks[b])[None], res0)
+        origin = np.asarray(origin)[0]
+        vsize = np.asarray(vsize)[0]
+        halo = resident_halo(cfg, vsize)
+        caps_needed.append(suggest_capacity(scenes_xyz[b], masks[b], Ds,
+                                            halo))
+        geo.append((origin, vsize, halo))
+    cap = capacity if capacity is not None else max(caps_needed)
+
+    sxs, sms, owneds, sls, sfs = [], [], [], [], []
+    edges_l, origins, vsizes, extents = [], [], [], []
+    for b in range(B):
+        origin, vsize, halo = geo[b]
+        sx, sm, owned, sidx, edges = partition_scene(
+            scenes_xyz[b], masks[b], Ds, halo, cap)
+        sxs.append(sx)
+        sms.append(sm)
+        owneds.append(owned)
+        sls.append(labels[b][sidx] * sm)
+        edges_l.append(edges)
+        origins.append(origin)
+        vsizes.append(vsize)
+        extents.append(vsize * res0 / (1.0 + 1e-5))
+        if C_in:
+            sfs.append(np.asarray(feats[b], np.float32)[sidx]
+                       * sm[..., None].astype(np.float32))
+
+    per_scene = NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS))
+    data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    extra = {}
+    if C_in:
+        extra["sf"] = jax.device_put(np.stack(sfs), per_scene)
+    return {
+        **extra,
+        "sx": jax.device_put(np.stack(sxs), per_scene),
+        "sm": jax.device_put(np.stack(sms), per_scene),
+        "owned": jax.device_put(np.stack(owneds), per_scene),
+        "label": jax.device_put(np.stack(sls).astype(np.int32), per_scene),
+        "edges": jax.device_put(np.stack(edges_l), data_sh),
+        "origin": jax.device_put(np.stack(origins), data_sh),
+        "vsize": jax.device_put(np.stack(vsizes), data_sh),
+        "extent": jax.device_put(np.stack(extents), data_sh),
     }

@@ -22,7 +22,8 @@ from gridgcn_tpu.configs.base import (
     Config, apply_overrides, parse_cli_overrides, to_json)
 from gridgcn_tpu.data.pipeline import make_dataset
 from gridgcn_tpu.models.build import init_model
-from gridgcn_tpu.parallel.mesh import make_mesh, maybe_init_distributed, shard_batch
+from gridgcn_tpu.parallel.mesh import (
+    DATA_AXIS, make_mesh, maybe_init_distributed, shard_batch)
 from gridgcn_tpu.parallel.dp import make_parallel_eval_step, make_parallel_train_step
 from gridgcn_tpu.train.metrics import summarize_confusion
 from gridgcn_tpu.train.steps import (
@@ -178,17 +179,33 @@ def train_spatial(cfg: Config, mesh_devices: int,
                   log_path: str | None = None, capacity: int = 0,
                   tier: str = "resident",
                   tensorboard_dir: str | None = None,
-                  ghost_cap="0", auto_capacity: str = "off"):
+                  ghost_cap="0", auto_capacity: str = "off",
+                  scene_batch: int = 0):
     """Fully-resident spatially-sharded training (F-22): each training
     example is ONE whole scene partitioned into slabs across the mesh; the
     loss is owned-point-masked CE; gradients psum over ICI (see
     parallel/spatial_train.py). Augmentation is host-side-off in v1 (a
-    rotation would have to precede partitioning)."""
+    rotation would have to precede partitioning).
+
+    `scene_batch` B > 1 (tier resident_ml, B | mesh_devices) composes
+    scene-batch DP with the spatial sharding on a 2-D (B scenes ×
+    mesh_devices/B slabs) mesh: B whole scenes per optimizer step, each
+    sharded over its own spatial ring, gradients pooled across scenes
+    (parallel/spatial_train.shard_scene_batches)."""
     from gridgcn_tpu.parallel.spatial_train import (
-        make_spatial_train_step, shard_scene_batch)
+        make_spatial_train_step, shard_scene_batch, shard_scene_batches)
 
     if cfg.model.task != "seg":
         raise ValueError("--spatial training is a segmentation protocol")
+    if scene_batch and scene_batch > 1:
+        if tier != "resident_ml":
+            raise ValueError("--scene-batch spatial training is a tier-3 "
+                             "(resident-ml) protocol")
+        if mesh_devices % scene_batch:
+            raise ValueError(f"--scene-batch {scene_batch} must divide "
+                             f"--mesh {mesh_devices}")
+    else:
+        scene_batch = 0
     log = MetricLogger(log_path, tensorboard_dir=tensorboard_dir)
     log.log("config", name=cfg.name, config=to_json(cfg), spatial=True)
 
@@ -199,8 +216,13 @@ def train_spatial(cfg: Config, mesh_devices: int,
     model, variables = init_model(cfg, seed=cfg.train.seed)
     state = create_train_state(cfg, model, variables, steps_per_epoch)
     _, sched = make_optimizer(cfg, steps_per_epoch)
-    mesh = make_mesh(mesh_devices)
-    D = mesh_devices
+    if scene_batch:
+        from gridgcn_tpu.parallel.mesh import make_mesh2d
+        mesh = make_mesh2d(scene_batch, mesh_devices // scene_batch)
+        D = mesh_devices // scene_batch   # spatial shards per scene ring
+    else:
+        mesh = make_mesh(mesh_devices)
+        D = mesh_devices
     N = cfg.data.num_points
     if not capacity:
         # tier-2 halo is thin (finest-grid reach), so 2×share + rounding
@@ -230,7 +252,9 @@ def train_spatial(cfg: Config, mesh_devices: int,
         caps = int(ghost_cap)
     step = make_spatial_train_step(cfg, mesh, sched, tier=tier,
                                    class_weights=class_weights,
-                                   ghost_cap=caps)
+                                   ghost_cap=caps,
+                                   batch_axis=(DATA_AXIS if scene_batch
+                                               else None))
     ckpt = CheckpointManager(cfg.train.ckpt_dir, cfg, keep=cfg.train.keep_ckpts)
     rng = jax.random.PRNGKey(cfg.train.seed)
     restored = ckpt.restore(state, rng)
@@ -246,17 +270,38 @@ def train_spatial(cfg: Config, mesh_devices: int,
         losses, accs, overflows = [], [], []
         order = np.random.default_rng(cfg.train.seed + epoch).permutation(
             train_ds.size)
-        for s_i in order:
-            xyz = train_ds.points[s_i]
-            labels = train_ds.labels[s_i]
-            feat = (train_ds.features[s_i]
-                    if train_ds.features is not None else None)
-            try:
-                batch = shard_scene_batch(cfg, xyz, labels, mask_full,
-                                          mesh, capacity, feat=feat)
-            except ValueError:   # dense slab overflowed the capacity
-                batch = shard_scene_batch(cfg, xyz, labels, mask_full,
-                                          mesh, N, feat=feat)
+        if scene_batch:
+            # B whole scenes per step (drop-last, standard DP grouping)
+            groups = [order[i:i + scene_batch]
+                      for i in range(0, len(order) - scene_batch + 1,
+                                     scene_batch)]
+        else:
+            groups = [[s_i] for s_i in order]
+        for grp in groups:
+            if scene_batch:
+                xyz = np.stack([train_ds.points[i] for i in grp])
+                labels = np.stack([train_ds.labels[i] for i in grp])
+                feat = (np.stack([train_ds.features[i] for i in grp])
+                        if train_ds.features is not None else None)
+                masks = np.repeat(mask_full[None], len(grp), 0)
+                try:
+                    batch = shard_scene_batches(cfg, xyz, labels, masks,
+                                                mesh, capacity, feats=feat)
+                except ValueError:   # dense slab overflowed the capacity
+                    batch = shard_scene_batches(cfg, xyz, labels, masks,
+                                                mesh, N, feats=feat)
+            else:
+                s_i = grp[0]
+                xyz = train_ds.points[s_i]
+                labels = train_ds.labels[s_i]
+                feat = (train_ds.features[s_i]
+                        if train_ds.features is not None else None)
+                try:
+                    batch = shard_scene_batch(cfg, xyz, labels, mask_full,
+                                              mesh, capacity, feat=feat)
+                except ValueError:   # dense slab overflowed the capacity
+                    batch = shard_scene_batch(cfg, xyz, labels, mask_full,
+                                              mesh, N, feat=feat)
             state, m = step(state, batch, rng)
             losses.append(m["loss"])
             accs.append(m["acc"])
@@ -316,6 +361,10 @@ def main(argv=None):
                         "full-share default, or 'auto' = calibrate from "
                         "the training scenes' boundary occupancy (less "
                         "ghost-compute tax; design.md §13 addendum)")
+    p.add_argument("--scene-batch", type=int, default=0,
+                   help="with --spatial resident-ml: train B whole scenes "
+                        "per step on a 2-D (B scenes x mesh/B slabs) mesh "
+                        "(scene-batch DP composed with spatial sharding)")
     p.add_argument("--auto-capacity", choices=["off", "propose", "apply"],
                    default="off",
                    help="step-0 layer-0 capacity audit action when the "
@@ -341,7 +390,8 @@ def main(argv=None):
                       tier=args.spatial.replace("-", "_"),
                       tensorboard_dir=args.tensorboard,
                       ghost_cap=args.ghost_cap,
-                      auto_capacity=args.auto_capacity)
+                      auto_capacity=args.auto_capacity,
+                      scene_batch=args.scene_batch)
     else:
         train(cfg, mesh_devices=args.mesh, log_path=args.log,
               tensorboard_dir=args.tensorboard,
