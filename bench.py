@@ -255,6 +255,57 @@ def bench_train_step(iters: int):
             "step_ms": dt * 1000, "train_points_per_sec": pts / dt}
 
 
+def bench_spatial_train_step(iters: int):
+    """Tier-3 spatially-sharded training at mesh=1 — the per-chip unit of
+    the F-22 scaling story (SURVEY §2.4), as a standing regression metric:
+    `scannet_seg` as one 65536-pt surface scene (B=1), trained through
+    `make_spatial_train_step` (owned-masked loss, ghost protocol at D=1,
+    full-share default caps). Same protocol as the §13 train anchor
+    (`study_mesh1_overhead.py --train`; measured 11.26 ms busy + the
+    full-share ghost tax in round 5)."""
+    import jax.numpy as jnp
+
+    from gridgcn_tpu.configs import presets
+    from gridgcn_tpu.configs.base import apply_overrides
+    from gridgcn_tpu.data.synthetic import synthetic_scene_surface
+    from gridgcn_tpu.models.build import init_model
+    from gridgcn_tpu.parallel.mesh import make_mesh
+    from gridgcn_tpu.parallel.spatial_train import (
+        make_spatial_train_step, shard_scene_batch)
+    from gridgcn_tpu.train.steps import create_train_state
+
+    cfg = presets.get("scannet_seg")
+    N = cfg.data.num_points * cfg.data.batch_size
+    cfg = apply_overrides(cfg, {"data.num_points": N, "data.batch_size": 1,
+                                "data.augment": False})
+    model, variables = init_model(cfg)
+    xyz = np.asarray(synthetic_scene_surface(N, seed=7), np.float32)
+    mask = np.ones((N,), bool)
+    labels = np.random.default_rng(0).integers(
+        0, cfg.model.num_classes, N).astype(np.int32)
+
+    mesh = make_mesh(1)
+    batch = shard_scene_batch(cfg, xyz, labels, mask, mesh, N)
+    state = create_train_state(cfg, model, variables, steps_per_epoch=8)
+    step = make_spatial_train_step(cfg, mesh, tier="resident_ml")
+    rng = jax.random.PRNGKey(0)
+
+    # TWO warmup steps: the first compiles against the fresh (unsharded)
+    # state, the second recompiles once the output state carries the mesh
+    # shardings — only then is the dispatch steady
+    for _ in range(2):
+        state, m = step(state, batch, rng)
+        float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch, rng)
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return {"config": cfg.name, "scene_points": N, "mesh": 1,
+            "tier": 3, "step_ms": dt * 1000,
+            "train_points_per_sec": N / dt}
+
+
 def bench_cagq_vs_fps(iters: int):
     """Data-structuring speedup (paper's 'up to ~50× vs FPS+ball query'):
     time CAGQ (voxel build + RVS + node gather) against FPS + ball query at
@@ -342,6 +393,7 @@ def main(argv=None):
     if not args.quick:
         detail["cagq_vs_fps"] = bench_cagq_vs_fps(args.iters)
         detail["train_step"] = bench_train_step(args.iters)
+        detail["spatial_train_step"] = bench_spatial_train_step(args.iters)
     print(json.dumps(detail), file=sys.stderr)
 
     result = {
@@ -360,6 +412,9 @@ def main(argv=None):
            if seg.get("floor_frac") else {}),
         **({"train_step_ms": round(detail["train_step"]["step_ms"], 2)}
            if "train_step" in detail else {}),
+        **({"spatial_train_step_ms":
+            round(detail["spatial_train_step"]["step_ms"], 2)}
+           if "spatial_train_step" in detail else {}),
         **({"cagq_vs_fps_speedup": round(detail["cagq_vs_fps"]["speedup"], 1)}
            if "cagq_vs_fps" in detail else {}),
     }

@@ -259,9 +259,13 @@ def train_spatial(cfg: Config, mesh_devices: int,
     rng = jax.random.PRNGKey(cfg.train.seed)
     restored = ckpt.restore(state, rng)
     start_epoch = 0
+    # optimizer steps per epoch: one per scene, or one per scene GROUP
+    # when scene-batched (drop-last grouping below)
+    opt_steps_per_epoch = (train_ds.size // scene_batch if scene_batch
+                           else train_ds.size)
     if restored is not None:
         state, rng = restored["state"], restored.get("rng", rng)
-        start_epoch = int(state.step) // max(train_ds.size, 1)
+        start_epoch = int(state.step) // max(opt_steps_per_epoch, 1)
         log.log("restore", step=int(state.step), epoch=start_epoch)
 
     mask_full = np.ones(N, bool)

@@ -927,6 +927,18 @@ def test_spatial_training_scene_batched_cli(tmp_path):
     leaves = jax.tree_util.tree_leaves(state.batch_stats)
     assert any(float(jnp.abs(x).sum()) > 0 for x in leaves)
 
+    # determinism (H6): a same-seed re-run of the scene-batched loop is
+    # bit-identical — the per-scene key split and the fixed drop-last
+    # grouping are both seed-derived, so checkpoints stay comparable
+    cfg_b = apply_overrides(cfg, {"train.ckpt_dir": str(tmp_path / "ckb")})
+    state_b = train_spatial(cfg_b, mesh_devices=8,
+                            tier="resident_ml", scene_batch=2)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg="scene-batched spatial training not deterministic"),
+        jax.device_get(state.params), jax.device_get(state_b.params))
+
 
 def test_spatial_training_tier3_featured_learns_and_needs_features():
     """VERDICT r4 #3: featured (in_channels > 0) spatially-sharded TRAINING
