@@ -183,6 +183,75 @@ class Predictor:
                        rng=rng, fwd=self._scene_fwds[spatial], votes=votes,
                        feat=feat)
 
+    def predict_scenes(self, scenes_xyz, feats=None, *, votes: int = 1,
+                       rng: Optional[jax.Array] = None):
+        """Batched whole-scene logits [B, N, num_classes] for B scenes at
+        once on a 2-D (scene × slab) mesh (F-19 ∘ F-22, round 5): the B
+        scenes ride the data axis, each scene's voxel slabs ride its own
+        spatial ring of mesh_size/B chips — the pod-scale serving shape.
+        Requires a mesh Predictor whose size B divides; per-scene outputs
+        equal the 1-D tier-3 path
+        (test_spatial.test_scene_batched_tier3_matches_per_scene).
+        `feats` [B, N, in_channels] is required when the checkpoint's
+        config has in_channels > 0; `votes` CAGQ seeds are logit-averaged
+        per scene."""
+        if self.cfg.model.task != "seg":
+            raise ValueError("predict_scenes is for segmentation models")
+        if self._mesh is None:
+            raise ValueError("predict_scenes needs a mesh Predictor "
+                             "(Predictor(..., mesh=N))")
+        if votes < 1:
+            raise ValueError(f"votes must be >= 1, got {votes}")
+        scenes_xyz = np.asarray(scenes_xyz, np.float32)
+        if scenes_xyz.ndim != 3 or scenes_xyz.shape[-1] != 3:
+            raise ValueError(f"scenes_xyz must be [B, N, 3], got "
+                             f"{scenes_xyz.shape}")
+        B = scenes_xyz.shape[0]
+        D = self._n_shards
+        if B < 1 or D % B:
+            raise ValueError(f"scene count {B} must divide the mesh size "
+                             f"{D}")
+        Ds = D // B
+        if any(l.n_centers % Ds for l in self.cfg.model.layers):
+            raise ValueError(
+                f"tier-3 scene batching needs every layer's n_centers "
+                f"divisible by {Ds} spatial shards "
+                f"({[l.n_centers for l in self.cfg.model.layers]})")
+        C_in = self.cfg.model.in_channels
+        if C_in:
+            if feats is None:
+                raise ValueError(f"this checkpoint's config has "
+                                 f"in_channels={C_in}: predict_scenes "
+                                 f"needs feats [B, N, {C_in}]")
+            feats = np.asarray(feats, np.float32)
+            if feats.shape != scenes_xyz.shape[:2] + (C_in,):
+                raise ValueError(f"feats shape {feats.shape} != expected "
+                                 f"{scenes_xyz.shape[:2] + (C_in,)}")
+
+        from gridgcn_tpu.parallel.mesh import (
+            DATA_AXIS, SPACE_AXIS, make_mesh2d)
+        from gridgcn_tpu.parallel.resident_ml import (
+            make_resident_ml_forward, resident_ml_seg_predict_scenes)
+
+        key = ("scenes", B)
+        if key not in self._scene_fwds:
+            devs = list(self._mesh.devices.reshape(-1))
+            mesh2d = make_mesh2d(B, Ds, devices=devs)
+            self._scene_fwds[key] = (mesh2d, make_resident_ml_forward(
+                self.cfg, mesh2d, axis_name=SPACE_AXIS,
+                batch_axis=DATA_AXIS))
+        mesh2d, fwd = self._scene_fwds[key]
+        masks = np.ones(scenes_xyz.shape[:2], bool)
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        acc = None
+        for v in range(votes):
+            k = jax.random.fold_in(rng, v) if votes > 1 else rng
+            lg = resident_ml_seg_predict_scenes(
+                self.cfg, self._variables, scenes_xyz, masks, mesh2d,
+                feats=feats, rng=k, fwd=fwd)
+            acc = lg if acc is None else acc + lg
+        return acc / votes
+
 
 def load_predictor(ckpt_dir: str, step: Optional[int] = None,
                    mesh=None) -> Predictor:

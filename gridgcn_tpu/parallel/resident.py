@@ -122,14 +122,26 @@ def make_resident_forward(cfg: Config, mesh: Mesh,
             return _with_dropout(
                 {"cagq": jax.random.fold_in(rng, 10_000 + i)}, 88_000 + i)
 
-        stats: dict = {}
+        # Running-stat threading (round-5 fix): a mutable apply returns the
+        # FULL batch_stats collection — modules the called method did not
+        # touch come back with their OLD values — so merging per-call
+        # collections lets a later call's stale entries overwrite an
+        # earlier call's update, and only the LAST call's BN stats ever
+        # reach the train state (caught by the round-5 spatial convergence
+        # run: every encoder/decoder BN stayed at init and held-out eval
+        # with running stats read chance while train-mode metrics looked
+        # healthy). Feed each call the latest collection instead; the last
+        # return is then complete and correct.
+        stats_cell: dict = {"bs": None}
 
-        def apply(*args, method, rngs=None):
+        def apply(vars_, *args, method, rngs=None):
             if not train:
-                return model.apply(*args, method=method, rngs=rngs)
-            out, mut = model.apply(*args, method=method, rngs=rngs,
+                return model.apply(vars_, *args, method=method, rngs=rngs)
+            if stats_cell["bs"] is not None:
+                vars_ = dict(vars_, batch_stats=stats_cell["bs"])
+            out, mut = model.apply(vars_, *args, method=method, rngs=rngs,
                                    mutable=["batch_stats"])
-            _merge_stats(stats, mut["batch_stats"])
+            stats_cell["bs"] = mut["batch_stats"]
             return out
 
         # input features mirror the monolithic network's convention
@@ -188,7 +200,7 @@ def make_resident_forward(cfg: Config, mesh: Mesh,
             return logits
         # cross-shard BN statistics, as in data-parallel training
         stats_mean = jax.tree.map(
-            lambda x: jax.lax.pmean(x, axis_name), stats)
+            lambda x: jax.lax.pmean(x, axis_name), stats_cell["bs"])
         return logits, stats_mean
 
     out_specs = (P(axis_name), P()) if train else P(axis_name)

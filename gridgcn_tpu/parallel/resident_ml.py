@@ -280,15 +280,22 @@ def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap=0,
                 r["dropout"] = jax.random.fold_in(rng, 55_000 + i)
             return r
 
-        stats: dict = {}
+        # Running-stat threading (round-5 fix, see resident.py): feed each
+        # mutable apply the LATEST batch_stats collection — merging
+        # per-call returns instead lets later calls' stale entries
+        # overwrite earlier updates, so only the head BN's running stats
+        # ever reached the train state and held-out eval with running
+        # stats read chance (caught by the spatial convergence run).
+        stats_cell: dict = {"bs": None}
 
-        def apply(*args, method, rngs=None):
+        def apply(vars_, *args, method, rngs=None):
             if not train:
-                return model.apply(*args, method=method, rngs=rngs)
-            out, mut = model.apply(*args, method=method, rngs=rngs,
+                return model.apply(vars_, *args, method=method, rngs=rngs)
+            if stats_cell["bs"] is not None:
+                vars_ = dict(vars_, batch_stats=stats_cell["bs"])
+            out, mut = model.apply(vars_, *args, method=method, rngs=rngs,
                                    mutable=["batch_stats"])
-            from gridgcn_tpu.parallel.resident import _merge_stats
-            _merge_stats(stats, mut["batch_stats"])
+            stats_cell["bs"] = mut["batch_stats"]
             return out
 
         def bounds_for(spec):
@@ -369,7 +376,7 @@ def make_resident_ml_forward(cfg: Config, mesh: Mesh, ghost_cap=0,
                 return logits, overflow[None], tuple(captures)
             return logits, overflow[None]
         stats_mean = jax.tree.map(
-            lambda x: jax.lax.pmean(x, axis_name), stats)
+            lambda x: jax.lax.pmean(x, axis_name), stats_cell["bs"])
         return logits, overflow[None], stats_mean
 
     if batch_axis is not None:

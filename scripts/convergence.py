@@ -20,7 +20,11 @@ the JSONL the trainer writes; the final line is what gets recorded.
 import argparse
 import dataclasses
 import json
+import os
+import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from gridgcn_tpu.configs import presets
 from gridgcn_tpu.configs.base import apply_overrides
@@ -87,6 +91,67 @@ def run_seg(epochs: int):
                       "final_overall_acc": final["overall_acc"],
                       "final_miou": final["miou"]}))
     return final["miou"]
+
+
+def run_spatial(epochs: int):
+    """`scannet_seg` trained SPATIALLY (tier 3, mesh=1, each example one
+    whole scene through `train_spatial`) on the SAME labeled surface
+    scenes as `run_seg`, then evaluated with the identical held-out
+    protocol — preset-scale QUALITY evidence for the spatially-sharded
+    training path (its latency was measured in §13; its convergence had
+    only tiny-scale tests). Comparable number: the `scannet_seg_surface`
+    gate (crop-DP plateau ~0.999 mIoU at 60 epochs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gridgcn_tpu.data.pipeline import make_dataset
+    from gridgcn_tpu.train.metrics import summarize_confusion
+    from gridgcn_tpu.train.steps import make_eval_step
+    from gridgcn_tpu.train.train import train_spatial
+
+    cfg = presets.get("scannet_seg")
+    cfg = apply_overrides(cfg, {
+        "data.dataset": "synthetic_scene",
+        "data.synthetic_size": 96,
+        "model.num_classes": 4,
+        "train.epochs": epochs,
+        "train.ckpt_every": epochs,
+        "train.ckpt_dir": tempfile.mkdtemp(prefix="conv_sp_"),
+    })
+    cfg = dataclasses.replace(
+        cfg, name="scannet_seg+surface_spatial",
+        model=dataclasses.replace(cfg.model, ignore_label=None))
+    log = tempfile.mktemp(suffix=".jsonl")
+    state = train_spatial(cfg, mesh_devices=1, tier="resident_ml",
+                          log_path=log)
+
+    # held-out eval: run_seg's exact protocol (monolithic eval step over
+    # the test split's crops) so the two numbers are directly comparable
+    from gridgcn_tpu.models.build import init_model
+    model, _ = init_model(cfg)
+    eval_step = make_eval_step(cfg, model)
+    val_ds = make_dataset(cfg.data, "test", cfg.model.num_classes, "seg")
+    cm = jnp.zeros((cfg.model.num_classes, cfg.model.num_classes),
+                   jnp.int32)
+    ek = jax.random.PRNGKey(10_000)
+    for batch in val_ds.batches(cfg.data.eval_batch_size, seed=0,
+                                shuffle=False, drop_last=False):
+        cm = cm + eval_step(state, {k: jnp.asarray(v)
+                                    for k, v in batch.items()}, ek)
+    s = summarize_confusion(cm)
+    with open(log) as f:
+        last_ep = [json.loads(l) for l in f
+                   if json.loads(l).get("kind") == "epoch"][-1]
+    print(f"SPATIAL-TRAIN held-out: overall_acc {float(s['overall_acc']):.4f}"
+          f"  miou {float(s['miou']):.4f}  (final train acc "
+          f"{last_ep['acc']:.4f}, ghost_overflow "
+          f"{last_ep.get('ghost_overflow', 0)})")
+    print(json.dumps({"run": "scannet_seg+surface_spatial_tier3",
+                      "final_overall_acc": float(s["overall_acc"]),
+                      "final_miou": float(s["miou"]),
+                      "ghost_overflow": int(last_ep.get("ghost_overflow",
+                                                        0))}))
+    return float(s["miou"])
 
 
 def run_s3dis(epochs: int):
@@ -157,7 +222,8 @@ def run_field(epochs: int, seed: int = 0, extra: dict | None = None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--run",
-                    choices=["cls", "seg", "s3dis", "field", "both", "all"],
+                    choices=["cls", "seg", "s3dis", "field", "spatial",
+                             "both", "all"],
                     default="both")
     ap.add_argument("--epochs-cls", type=int, default=30)
     ap.add_argument("--epochs-seg", type=int, default=60)
@@ -174,6 +240,8 @@ def main():
         run_seg(args.epochs_seg)
     if args.run in ("s3dis", "all"):
         run_s3dis(args.epochs_seg)
+    if args.run in ("spatial", "all"):
+        run_spatial(args.epochs_seg)
     if args.run in ("field", "all"):
         from gridgcn_tpu.configs.base import parse_cli_overrides
         run_field(args.epochs_seg, seed=args.seed,

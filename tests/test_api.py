@@ -104,3 +104,21 @@ def test_predict_scene_single_and_mesh(tmp_path):
     np.testing.assert_allclose(
         out_ml if auto_tier == "resident_ml" else out_r, out_m,
         rtol=1e-5, atol=1e-5)
+
+    # batched scene serving on the 2-D (scene × slab) mesh (round 5):
+    # 2 scenes at once, each sharded over its own 4-device ring
+    pm8 = load_predictor(str(tmp_path / "ck"), mesh=8)
+    scenes = np.stack([xyz, rng.uniform(-1, 1, (400, 3)).astype(np.float32)])
+    outs = pm8.predict_scenes(scenes, votes=2)
+    assert outs.shape == (2, 400, cfg.model.num_classes)
+    assert np.isfinite(outs).all()
+    assert (np.abs(outs).sum(axis=-1) > 0).all()
+    # the two scenes are different clouds — identical outputs would mean
+    # the scene axis is broadcast, not sharded
+    assert float(np.abs(outs[0] - outs[1]).max()) > 1e-3
+    with pytest.raises(ValueError, match="divide"):
+        pm8.predict_scenes(scenes[:1][:0].reshape(0, 400, 3))
+    with pytest.raises(ValueError, match="divide"):
+        pm8.predict_scenes(np.repeat(scenes, 3, axis=0)[:3])
+    with pytest.raises(ValueError, match="mesh Predictor"):
+        p1.predict_scenes(scenes)

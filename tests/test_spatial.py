@@ -1076,6 +1076,71 @@ def test_scene_batched_tier3_spatial_training_learns():
         f"scene-batched path — feature plumbing untested")
 
 
+def test_spatial_training_updates_every_bn_running_stat():
+    """Round-5 regression gate for a bug the preset-scale spatial
+    convergence run exposed: a mutable flax apply returns the FULL
+    batch_stats collection (stale values for modules the called method
+    did not touch), so merging per-call returns let the LAST call's stale
+    entries overwrite every earlier update — only the head BN's running
+    stats ever reached the train state, train-mode metrics looked healthy
+    (BN normalizes with batch stats), and held-out eval with running
+    stats read CHANCE (measured 0.254 vs 0.772 batch-stats on the chip).
+    Asserts (a) every BN running stat moves off init under BOTH spatial
+    tiers, and (b) a spatially-trained model evaluated monolithically
+    with train=False (running stats) beats chance."""
+    import dataclasses
+
+    from gridgcn_tpu.parallel.spatial_train import (
+        make_spatial_train_step, shard_scene_batch)
+    from gridgcn_tpu.train.steps import create_train_state
+
+    base = presets.get("synthetic_tiny_seg")
+    cfg = dataclasses.replace(
+        base, data=dataclasses.replace(base.data, num_points=512))
+    N = 512
+    rng_np = np.random.default_rng(5)
+    xyz = rng_np.uniform((-0.9, -1, -1), (1.1, 1, 1),
+                         size=(N, 3)).astype(np.float32)
+    labels = (((xyz[:, 0] > 0) * 2 + (xyz[:, 1] > 0))
+              % cfg.model.num_classes).astype(np.int32)
+    mask = np.ones(N, bool)
+    mesh = make_mesh(4)
+
+    for tier in ("resident", "resident_ml"):
+        model, variables = init_model(cfg)
+        init_stats = jax.device_get(variables["batch_stats"])
+        state = create_train_state(cfg, model, variables, 8)
+        step = make_spatial_train_step(cfg, mesh, tier=tier)
+        batch = shard_scene_batch(cfg, xyz, labels, mask, mesh, N)
+        for _ in range(60):
+            state, m = step(state, batch, jax.random.PRNGKey(0))
+        new_stats = jax.device_get(state.batch_stats)
+
+        frozen = []
+
+        def walk(a, b, path=""):
+            if isinstance(a, dict):
+                for k in sorted(a):
+                    walk(a[k], b[k], path + "/" + k)
+            elif np.allclose(a, b):
+                frozen.append(path)
+
+        walk(init_stats, new_stats)
+        assert not frozen, (
+            f"tier {tier}: BN running stats frozen at init for {frozen} — "
+            f"the per-call mutable merge is dropping updates again")
+
+        # running-stats eval (train=False) must beat 4-class chance
+        lg = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(xyz)[None], None, jnp.ones((1, N), bool),
+            train=False, rngs={"cagq": jax.random.PRNGKey(1)})
+        acc = float((jnp.argmax(lg[0], -1) == jnp.asarray(labels)).mean())
+        assert acc > 0.5, (
+            f"tier {tier}: running-stats eval at {acc:.3f} (~chance) — "
+            f"spatially-trained models are broken under train=False")
+
+
 def test_suggest_capacity_bounds_partition():
     """Auto-sized capacity admits every slab's own+halo occupancy (the two
     share one _slab_edges rule) while staying well under the whole-scene

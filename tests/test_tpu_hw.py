@@ -149,3 +149,38 @@ def test_preset_scale_convergence_field_on_hardware():
     assert rec["final_overall_acc"] >= floor, (
         f"preset-scale FIELD convergence regressed: "
         f"{rec['final_overall_acc']:.4f} < {floor}")
+
+
+@pytest.mark.skipif(not _ON, reason="set GRIDGCN_TPU_TESTS=1 to run on TPU")
+def test_preset_scale_convergence_spatial_on_hardware():
+    """Re-runs the spatially-sharded TRAIN quality gate (round 5): the
+    scannet_seg preset trained tier-3 spatially (mesh=1, whole scenes)
+    must reach the recorded held-out mIoU band under the monolithic
+    running-stats eval — the protocol that caught the BN running-stat
+    threading bug (a broken spatial checkpoint evals at ~chance 0.25,
+    far below any floor here; accuracy_targets.json
+    scannet_seg_surface_spatial)."""
+    import json as _json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    targets = _json.load(open(os.path.join(
+        repo, "gridgcn_tpu", "train", "accuracy_targets.json")))
+    t = targets["scannet_seg_surface_spatial"]
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [env.get("PYTHONPATH"), repo] if p)
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "convergence.py"),
+         "--run", "spatial", "--epochs-seg", "12"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=3000)
+    assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-3000:]
+    rec = _json.loads([l for l in out.stdout.splitlines()
+                       if l.startswith('{"run"')][-1])
+    floor = t["target"] - t["short_run_allowance"]
+    assert rec["final_miou"] >= floor, (
+        f"spatially-sharded TRAIN quality regressed: held-out mIoU "
+        f"{rec['final_miou']:.4f} < {floor} (a running-stat recurrence "
+        f"reads ~0.1)")
+    assert rec["ghost_overflow"] == 0
