@@ -184,14 +184,18 @@ def train_spatial(cfg: Config, mesh_devices: int,
     """Fully-resident spatially-sharded training (F-22): each training
     example is ONE whole scene partitioned into slabs across the mesh; the
     loss is owned-point-masked CE; gradients psum over ICI (see
-    parallel/spatial_train.py). Augmentation is host-side-off in v1 (a
-    rotation would have to precede partitioning).
+    parallel/spatial_train.py). Augmentation (cfg.data.augment, F-14 —
+    the same jitted `augment_batch` op set the crop-DP step runs) is
+    applied to the WHOLE scene before partitioning, so the rotation
+    precedes the slab cut and grid bounds follow the rotated cloud;
+    dropout rides the mask into `partition_scene`.
 
     `scene_batch` B > 1 (tier resident_ml, B | mesh_devices) composes
     scene-batch DP with the spatial sharding on a 2-D (B scenes ×
     mesh_devices/B slabs) mesh: B whole scenes per optimizer step, each
     sharded over its own spatial ring, gradients pooled across scenes
     (parallel/spatial_train.shard_scene_batches)."""
+    from gridgcn_tpu.data.augment import augment_batch
     from gridgcn_tpu.parallel.spatial_train import (
         make_spatial_train_step, shard_scene_batch, shard_scene_batches)
 
@@ -269,6 +273,36 @@ def train_spatial(cfg: Config, mesh_devices: int,
         log.log("restore", step=int(state.step), epoch=start_epoch)
 
     mask_full = np.ones(N, bool)
+    aug_fn = None
+    if cfg.data.augment:
+        # pin the pre-partition augment to the HOST CPU device: its output
+        # feeds host-side partition_scene immediately, so running it on the
+        # accelerator would buy three tunnel roundtrips per step (measured
+        # 80k -> 48k pts/s on the scene loop) for zero benefit. Placement
+        # via jax.default_device around the call — numpy inputs are
+        # uncommitted, so the jitted computation lands on that device.
+        try:
+            _aug_dev = jax.devices("cpu")[0]
+        except RuntimeError:
+            _aug_dev = None
+        _seed0 = int(cfg.train.seed) + 71_717
+
+        def _aug_key(e, g):
+            return jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(_seed0), e), g)
+
+        if train_ds.features is not None:
+            _aug_jit = jax.jit(lambda x, m, e, g, f: augment_batch(
+                x, m, _aug_key(e, g), cfg.data, f))
+        else:
+            _aug_jit = jax.jit(lambda x, m, e, g: augment_batch(
+                x, m, _aug_key(e, g), cfg.data))
+
+        def aug_fn(*a):
+            if _aug_dev is None:
+                return _aug_jit(*a)
+            with jax.default_device(_aug_dev):
+                return _aug_jit(*a)
     for epoch in range(start_epoch, cfg.train.epochs):
         t_ep = time.time()
         losses, accs, overflows = [], [], []
@@ -282,12 +316,25 @@ def train_spatial(cfg: Config, mesh_devices: int,
         else:
             groups = [[s_i] for s_i in order]
         for grp in groups:
+            xyz = np.stack([train_ds.points[i] for i in grp])
+            labels = np.stack([train_ds.labels[i] for i in grp])
+            feat = (np.stack([train_ds.features[i] for i in grp])
+                    if train_ds.features is not None else None)
+            masks = np.repeat(mask_full[None], len(grp), 0)
+            if aug_fn is not None:
+                # F-14 over the WHOLE scene, before partitioning: same
+                # jitted op set as the crop-DP step (rotation precedes the
+                # slab cut; dropout rides the mask into partition_scene);
+                # e/g ride as traced scalars so the key math stays on the
+                # augment device and one compile serves every step
+                e_g = (np.int32(epoch), np.int32(grp[0]))
+                if feat is not None:
+                    ax, am, af = aug_fn(xyz, masks, *e_g, feat)
+                    feat = np.asarray(af)
+                else:
+                    ax, am, _ = aug_fn(xyz, masks, *e_g)
+                xyz, masks = np.asarray(ax), np.asarray(am)
             if scene_batch:
-                xyz = np.stack([train_ds.points[i] for i in grp])
-                labels = np.stack([train_ds.labels[i] for i in grp])
-                feat = (np.stack([train_ds.features[i] for i in grp])
-                        if train_ds.features is not None else None)
-                masks = np.repeat(mask_full[None], len(grp), 0)
                 try:
                     batch = shard_scene_batches(cfg, xyz, labels, masks,
                                                 mesh, capacity, feats=feat)
@@ -295,17 +342,16 @@ def train_spatial(cfg: Config, mesh_devices: int,
                     batch = shard_scene_batches(cfg, xyz, labels, masks,
                                                 mesh, N, feats=feat)
             else:
-                s_i = grp[0]
-                xyz = train_ds.points[s_i]
-                labels = train_ds.labels[s_i]
-                feat = (train_ds.features[s_i]
-                        if train_ds.features is not None else None)
                 try:
-                    batch = shard_scene_batch(cfg, xyz, labels, mask_full,
-                                              mesh, capacity, feat=feat)
+                    batch = shard_scene_batch(cfg, xyz[0], labels[0],
+                                              masks[0], mesh, capacity,
+                                              feat=(feat[0] if feat is not
+                                                    None else None))
                 except ValueError:   # dense slab overflowed the capacity
-                    batch = shard_scene_batch(cfg, xyz, labels, mask_full,
-                                              mesh, N, feat=feat)
+                    batch = shard_scene_batch(cfg, xyz[0], labels[0],
+                                              masks[0], mesh, N,
+                                              feat=(feat[0] if feat is not
+                                                    None else None))
             state, m = step(state, batch, rng)
             losses.append(m["loss"])
             accs.append(m["acc"])

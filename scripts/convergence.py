@@ -65,7 +65,7 @@ def run_cls(epochs: int):
     return final
 
 
-def run_seg(epochs: int):
+def run_seg(epochs: int, extra: dict | None = None):
     cfg = presets.get("scannet_seg")
     cfg = apply_overrides(cfg, {
         "data.dataset": "synthetic_scene",
@@ -75,6 +75,7 @@ def run_seg(epochs: int):
         "train.eval_every": max(epochs // 10, 1),
         "train.ckpt_every": epochs,
         "train.ckpt_dir": tempfile.mkdtemp(prefix="conv_seg_"),
+        **(extra or {}),
     })
     # surface-scene labels have no "unannotated" class — drop the ScanNet
     # ignore-label protocol (every point scores)
@@ -93,14 +94,16 @@ def run_seg(epochs: int):
     return final["miou"]
 
 
-def run_spatial(epochs: int):
+def run_spatial(epochs: int, extra: dict | None = None):
     """`scannet_seg` trained SPATIALLY (tier 3, mesh=1, each example one
     whole scene through `train_spatial`) on the SAME labeled surface
     scenes as `run_seg`, then evaluated with the identical held-out
     protocol — preset-scale QUALITY evidence for the spatially-sharded
     training path (its latency was measured in §13; its convergence had
-    only tiny-scale tests). Comparable number: the `scannet_seg_surface`
-    gate (crop-DP plateau ~0.999 mIoU at 60 epochs)."""
+    only tiny-scale tests). Comparable numbers (60 epochs, this exact
+    held-out protocol): crop-DP 0.847 mIoU augmented (the
+    `scannet_seg_surface` gate) / 0.9264 unaugmented — whole-scene
+    spatial training scores 0.9498, beating crops like-for-like."""
     import jax
     import jax.numpy as jnp
 
@@ -117,6 +120,16 @@ def run_spatial(epochs: int):
         "train.epochs": epochs,
         "train.ckpt_every": epochs,
         "train.ckpt_dir": tempfile.mkdtemp(prefix="conv_sp_"),
+        # protocol pins augment OFF — the measured 2x2 on this task
+        # (60 epochs, held-out mIoU): crop-DP 0.847 aug / 0.9264 no-aug;
+        # spatial 0.3256 aug / 0.9498 no-aug. Augmentation hurts BOTH
+        # regimes here (the synthetic surface labels are not fully
+        # rotation-invariant — a rotation-ONLY 12-epoch arm scores 0.19,
+        # below full augment), and the B=1 whole-scene regime amplifies
+        # the damage. Recorded in accuracy_targets.json; reproduce with
+        # --override data.augment=true.
+        "data.augment": False,
+        **(extra or {}),
     })
     cfg = dataclasses.replace(
         cfg, name="scannet_seg+surface_spatial",
@@ -230,18 +243,21 @@ def main():
     ap.add_argument("--seed", type=int, default=0,
                     help="train seed (field arm: paired-seed spread)")
     ap.add_argument("--override", action="append", default=[],
-                    help="dotted config override k=v (field arm only; e.g. "
+                    help="dotted config override k=v (field/spatial arms; e.g. "
                          "model.dtype=bfloat16 to measure a known "
                          "regression against the gate)")
     args = ap.parse_args()
     if args.run in ("cls", "both", "all"):
         run_cls(args.epochs_cls)
     if args.run in ("seg", "both", "all"):
-        run_seg(args.epochs_seg)
+        from gridgcn_tpu.configs.base import parse_cli_overrides
+        run_seg(args.epochs_seg, extra=parse_cli_overrides(args.override))
     if args.run in ("s3dis", "all"):
         run_s3dis(args.epochs_seg)
     if args.run in ("spatial", "all"):
-        run_spatial(args.epochs_seg)
+        from gridgcn_tpu.configs.base import parse_cli_overrides
+        run_spatial(args.epochs_seg,
+                    extra=parse_cli_overrides(args.override))
     if args.run in ("field", "all"):
         from gridgcn_tpu.configs.base import parse_cli_overrides
         run_field(args.epochs_seg, seed=args.seed,

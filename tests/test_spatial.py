@@ -940,6 +940,57 @@ def test_spatial_training_scene_batched_cli(tmp_path):
         jax.device_get(state.params), jax.device_get(state_b.params))
 
 
+def test_spatial_training_augmented(tmp_path):
+    """F-14 augmentation in the spatial loop: `train_spatial` applies the
+    same jitted `augment_batch` op set to the WHOLE scene before
+    `partition_scene` (rotation precedes the slab cut). Asserts the
+    augmented loop (a) runs with finite loss on both the per-scene and
+    scene-batched branches, (b) is seed-deterministic, and (c) actually
+    perturbs training — params differ from the unaugmented run."""
+    import json
+
+    from gridgcn_tpu.configs.base import apply_overrides
+    from gridgcn_tpu.train.train import train_spatial
+
+    cfg0 = presets.get("synthetic_tiny_seg")
+
+    def run(tag, augment, **kw):
+        c = apply_overrides(cfg0, {
+            "train.epochs": 1, "train.ckpt_dir": str(tmp_path / tag),
+            "data.num_points": 512, "train.lr": 3e-3,
+            "data.augment": augment,
+        })
+        return train_spatial(c, log_path=str(tmp_path / f"{tag}.jsonl"),
+                             **kw)
+
+    state = run("aug_a", True, mesh_devices=4, tier="resident_ml")
+    lines = [json.loads(l) for l in open(tmp_path / "aug_a.jsonl")]
+    ep = [l for l in lines if l.get("kind") == "epoch"]
+    assert ep and np.isfinite(ep[-1]["loss"])
+
+    # determinism: the aug key is derived from (seed, epoch, scene)
+    state_b = run("aug_b", True, mesh_devices=4, tier="resident_ml")
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg="augmented spatial training not deterministic"),
+        jax.device_get(state.params), jax.device_get(state_b.params))
+
+    # augmentation actually changed the data the model saw
+    state_off = run("aug_off", False, mesh_devices=4, tier="resident_ml")
+    diffs = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        jax.device_get(state.params), jax.device_get(state_off.params))
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0.0
+
+    # scene-batched branch takes the same pre-partition augment
+    state_sb = run("aug_sb", True, mesh_devices=8, tier="resident_ml",
+                   scene_batch=2)
+    lines = [json.loads(l) for l in open(tmp_path / "aug_sb.jsonl")]
+    ep = [l for l in lines if l.get("kind") == "epoch"]
+    assert ep and np.isfinite(ep[-1]["loss"])
+
+
 def test_spatial_training_tier3_featured_learns_and_needs_features():
     """VERDICT r4 #3: featured (in_channels > 0) spatially-sharded TRAINING
     gets executable evidence — the train-side twin of
