@@ -72,6 +72,21 @@ def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     return jax.device_put(tree, rep)
 
 
+def fetch_global(x) -> np.ndarray:
+    """Fetch a (possibly multi-host) global jax.Array to host numpy.
+
+    Single-process: plain `device_get`. Multi-process (jax.distributed —
+    the mesh spans devices this process cannot address): all-gather the
+    value to every host first (`multihost_utils.process_allgather`), so the
+    spatial predict drivers (tiers 1–3, scene-batched) work unchanged on a
+    multi-host mesh — `device_get` alone raises on non-addressable shards.
+    Covered by tests/test_multihost.py's tier-3 worker."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(jax.device_get(x))
+
+
 def maybe_init_distributed():
     """Initialize multi-host JAX when launched under a multi-process runtime.
 

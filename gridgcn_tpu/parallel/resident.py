@@ -43,7 +43,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from gridgcn_tpu.configs.base import Config
 from gridgcn_tpu.models.segmentation import GridGCNSegmentation
 from gridgcn_tpu.ops.voxelize import grid_bounds
-from gridgcn_tpu.parallel.mesh import DATA_AXIS
+from gridgcn_tpu.parallel.mesh import DATA_AXIS, fetch_global
 from gridgcn_tpu.parallel.spatial import partition_scene
 
 
@@ -284,7 +284,7 @@ def resident_seg_predict(cfg: Config, variables, xyz: np.ndarray,
         k = jax.random.fold_in(rng, v) if votes > 1 else rng
         lg = fwd(variables, *pos_args, edges_d, origin_d, vsize_d, k)
         acc = lg if acc is None else acc + lg
-    logits = np.asarray(jax.device_get(acc)) / votes
+    logits = fetch_global(acc) / votes
 
     C = logits.shape[-1]
     out = np.zeros((xyz.shape[0], C), logits.dtype)

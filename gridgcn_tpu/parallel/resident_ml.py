@@ -49,7 +49,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from gridgcn_tpu.configs.base import Config
 from gridgcn_tpu.models.segmentation import GridGCNSegmentation
 from gridgcn_tpu.ops.voxelize import grid_bounds
-from gridgcn_tpu.parallel.mesh import DATA_AXIS
+from gridgcn_tpu.parallel.mesh import DATA_AXIS, fetch_global
 from gridgcn_tpu.parallel.resident import resident_halo
 from gridgcn_tpu.parallel.spatial import partition_scene
 
@@ -524,8 +524,8 @@ def resident_ml_seg_predict(cfg: Config, variables, xyz: np.ndarray,
         acc = lg if acc is None else acc + lg
     # ghost selection depends only on geometry, so overflow is identical
     # across votes — the last fetch stands for all of them
-    logits = np.asarray(jax.device_get(acc)) / votes
-    n_over = int(np.asarray(jax.device_get(overflow)).sum())
+    logits = fetch_global(acc) / votes
+    n_over = int(fetch_global(overflow).sum())
     if n_over:
         import warnings
         warnings.warn(
@@ -623,8 +623,8 @@ def resident_ml_seg_predict_scenes(cfg: Config, variables,
                        jax.device_put(np.stack(origins), data_sh),
                        jax.device_put(np.stack(extents), data_sh),
                        rngs)
-    logits = np.asarray(jax.device_get(lg))
-    n_over = int(np.asarray(jax.device_get(overflow)).sum())
+    logits = fetch_global(lg)
+    n_over = int(fetch_global(overflow).sum())
     if n_over:
         import warnings
         warnings.warn(

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from gridgcn_tpu.parallel.mesh import DATA_AXIS
+from gridgcn_tpu.parallel.mesh import DATA_AXIS, fetch_global
 
 
 def required_halo(cfg, extent: float) -> float:
@@ -147,12 +147,12 @@ def sharded_scene_apply(apply_fn, xyz: np.ndarray, mask: np.ndarray,
     sh = NamedSharding(mesh, P(DATA_AXIS))
     if feat is not None:
         sf = feat[sidx] * sm[..., None].astype(feat.dtype)
-        logits = np.asarray(jax.device_get(
+        logits = fetch_global(
             apply_fn(jax.device_put(sx, sh), jax.device_put(sf, sh),
-                     jax.device_put(sm, sh))))
+                     jax.device_put(sm, sh)))
     else:
-        logits = np.asarray(jax.device_get(
-            apply_fn(jax.device_put(sx, sh), jax.device_put(sm, sh))))
+        logits = fetch_global(
+            apply_fn(jax.device_put(sx, sh), jax.device_put(sm, sh)))
 
     out = np.zeros((xyz.shape[0], num_outputs), logits.dtype)
     flat_owned = owned.reshape(-1)

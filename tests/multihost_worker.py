@@ -1,11 +1,55 @@
-"""Worker script for the F-19 multi-host smoke test (SURVEY §2.4: multi-host
-DP over DCN via jax.distributed). Launched twice on localhost by
+"""Worker script for the F-19/F-22 multi-host smoke tests (SURVEY §2.4:
+multi-host over DCN via jax.distributed). Launched twice on localhost by
 tests/test_multihost.py with coordinator env vars; each process contributes
-2 virtual CPU devices, the global mesh spans all 4, and one data-parallel
-train step runs on the tiny synthetic config."""
+2 virtual CPU devices, the global mesh spans all 4, and (a) one
+data-parallel train step runs on the tiny synthetic config, (b) when
+TIER3_GOLDEN is set, the tier-3 spatially-sharded whole-scene forward runs
+on the same global mesh — its ppermute ghost ring crossing the process
+boundary — and the stitched logits are compared against a single-process
+golden. With TIER3_MODE=golden (no coordinator env), the script instead
+runs single-process on 4 fake devices and WRITES the golden."""
 
 import os
 import sys
+
+
+def tier3_logits():
+    """Deterministic tier-3 whole-scene forward on a 4-device mesh (global
+    in the 2-process run, local in golden mode): synthetic_tiny_seg at
+    random init, seeded scene, votes=1. Same code both modes — the only
+    difference is whether the 4 devices span one process or two."""
+    import jax
+    import numpy as np
+
+    from gridgcn_tpu.configs import presets
+    from gridgcn_tpu.configs.base import apply_overrides
+    from gridgcn_tpu.models.build import init_model
+    from gridgcn_tpu.parallel.mesh import make_mesh
+    from gridgcn_tpu.parallel.resident_ml import resident_ml_seg_predict
+
+    cfg = presets.get("synthetic_tiny_seg")
+    cfg = apply_overrides(cfg, {"data.num_points": 512})
+    _, variables = init_model(cfg)
+    # host-local numpy tree: committed single-device arrays cannot be
+    # device_put onto a mesh with non-addressable devices
+    variables = jax.device_get(variables)
+    rng = np.random.default_rng(1234)
+    xyz = rng.uniform(0, 4, size=(512, 3)).astype(np.float32)
+    mask = np.ones(512, bool)
+    mesh = make_mesh(4)
+    assert mesh.devices.size == 4
+    return resident_ml_seg_predict(cfg, variables, xyz, mask, mesh,
+                                   rng=jax.random.PRNGKey(7))
+
+
+def golden_main(path):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    np.save(path, tier3_logits())
+    print("golden: OK", flush=True)
 
 
 def main():
@@ -60,8 +104,25 @@ def main():
     assert int(new_state.step) == 1
     print(f"proc {jax.process_index()}: OK loss={loss:.4f}", flush=True)
 
+    golden_path = os.environ.get("TIER3_GOLDEN")
+    if golden_path:
+        import numpy as np
+        # F-22 over the process boundary: the tier-3 ppermute ghost ring
+        # spans both processes' devices (slab 1↔2 neighbors live on
+        # different processes); fetch_global all-gathers the stitched
+        # logits back to every host. Must match the single-process golden.
+        out = tier3_logits()
+        golden = np.load(golden_path)
+        np.testing.assert_allclose(out, golden, rtol=1e-5, atol=1e-5)
+        print(f"proc {jax.process_index()}: TIER3 OK", flush=True)
+
 
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    main()
+    if os.environ.get("TIER3_MODE") == "golden":
+        os.environ.setdefault("XLA_FLAGS",
+                              "--xla_force_host_platform_device_count=4")
+        golden_main(os.environ["TIER3_GOLDEN"])
+    else:
+        main()
