@@ -29,17 +29,34 @@ def tier3_logits():
 
     cfg = presets.get("synthetic_tiny_seg")
     cfg = apply_overrides(cfg, {"data.num_points": 512})
-    _, variables = init_model(cfg)
-    # host-local numpy tree: committed single-device arrays cannot be
+    model, variables = init_model(cfg)
+    # host-local numpy trees: committed single-device arrays cannot be
     # device_put onto a mesh with non-addressable devices
     variables = jax.device_get(variables)
     rng = np.random.default_rng(1234)
     xyz = rng.uniform(0, 4, size=(512, 3)).astype(np.float32)
+    labels = rng.integers(0, cfg.model.num_classes, 512).astype(np.int32)
     mask = np.ones(512, bool)
     mesh = make_mesh(4)
     assert mesh.devices.size == 4
-    return resident_ml_seg_predict(cfg, variables, xyz, mask, mesh,
-                                   rng=jax.random.PRNGKey(7))
+    logits = resident_ml_seg_predict(cfg, variables, xyz, mask, mesh,
+                                     rng=jax.random.PRNGKey(7))
+
+    # one tier-3 spatially-sharded TRAIN step on the same mesh: the
+    # gradient psum and BN pmean also cross the process boundary in the
+    # 2-process run
+    from gridgcn_tpu.parallel.mesh import replicate_tree
+    from gridgcn_tpu.parallel.spatial_train import (
+        make_spatial_train_step, shard_scene_batch)
+    from gridgcn_tpu.train.steps import create_train_state
+
+    state = jax.device_get(
+        create_train_state(cfg, model, variables, steps_per_epoch=4))
+    batch = shard_scene_batch(cfg, xyz, labels, mask, mesh, 512)
+    step = make_spatial_train_step(cfg, mesh, tier="resident_ml")
+    _, m = step(replicate_tree(state, mesh),
+                batch, replicate_tree(jax.random.PRNGKey(3), mesh))
+    return logits, float(m["loss"]), float(m["acc"])
 
 
 def golden_main(path):
@@ -48,7 +65,8 @@ def golden_main(path):
     jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
-    np.save(path, tier3_logits())
+    logits, loss, acc = tier3_logits()
+    np.savez(path, logits=logits, loss=loss, acc=acc)
     print("golden: OK", flush=True)
 
 
@@ -111,9 +129,13 @@ def main():
         # spans both processes' devices (slab 1↔2 neighbors live on
         # different processes); fetch_global all-gathers the stitched
         # logits back to every host. Must match the single-process golden.
-        out = tier3_logits()
+        logits, loss, acc = tier3_logits()
         golden = np.load(golden_path)
-        np.testing.assert_allclose(out, golden, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(logits, golden["logits"],
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose([loss, acc],
+                                   [golden["loss"], golden["acc"]],
+                                   rtol=1e-5, atol=1e-6)
         print(f"proc {jax.process_index()}: TIER3 OK", flush=True)
 
 

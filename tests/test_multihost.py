@@ -28,7 +28,7 @@ def test_two_process_localhost_mesh(tmp_path):
     port = _free_port()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(root, "tests", "multihost_worker.py")
-    golden = str(tmp_path / "tier3_golden.npy")
+    golden = str(tmp_path / "tier3_golden.npz")
 
     genv = dict(os.environ, TIER3_MODE="golden", TIER3_GOLDEN=golden,
                 JAX_PLATFORMS="cpu",
