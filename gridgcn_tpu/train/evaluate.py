@@ -329,9 +329,13 @@ def evaluate_s3dis_rooms(ckpt_dir: str, votes: int = 1, log_path=None,
 
 
 def main(argv=None):
+    from gridgcn_tpu.parallel.mesh import maybe_init_distributed
     from gridgcn_tpu.utils.platform import force_platform_from_env
 
     force_platform_from_env()
+    # multi-host launch (coordinator env set): the sharded eval paths run
+    # on the global mesh — the predict drivers fetch via fetch_global
+    maybe_init_distributed()
     p = argparse.ArgumentParser(description="gridgcn_tpu evaluator")
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--latency", action="store_true")
