@@ -75,13 +75,18 @@ def replicate_tree(tree: Any, mesh: Mesh) -> Any:
 def fetch_global(x) -> np.ndarray:
     """Fetch a (possibly multi-host) global jax.Array to host numpy.
 
-    Single-process: plain `device_get`. Multi-process (jax.distributed —
-    the mesh spans devices this process cannot address): all-gather the
-    value to every host first (`multihost_utils.process_allgather`), so the
-    spatial predict drivers (tiers 1–3, scene-batched) work unchanged on a
-    multi-host mesh — `device_get` alone raises on non-addressable shards.
-    Covered by tests/test_multihost.py's tier-3 worker."""
-    if jax.process_count() > 1:
+    Fully-addressable values (single-process, or a multi-process launch
+    whose array lives entirely on this host's devices): plain `device_get`.
+    Arrays with shards this process cannot address (a jax.distributed mesh
+    spanning hosts): all-gather the value to every host first
+    (`multihost_utils.process_allgather`), so the spatial predict drivers
+    (tiers 1–3, scene-batched) work unchanged on a multi-host mesh —
+    `device_get` alone raises there. The gate is ADDRESSABILITY, not
+    process_count: process_allgather STACKS fully-addressable inputs
+    across processes (per-host values, not one global value), which would
+    silently double the leading extent. Covered by
+    tests/test_multihost.py's tier-3 worker."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
         from jax.experimental import multihost_utils
         return np.asarray(multihost_utils.process_allgather(x, tiled=True))
     return np.asarray(jax.device_get(x))

@@ -284,6 +284,13 @@ def train_spatial(cfg: Config, mesh_devices: int,
         try:
             _aug_dev = jax.devices("cpu")[0]
         except RuntimeError:
+            import warnings
+            warnings.warn(
+                "no CPU backend available (JAX_PLATFORMS pins the "
+                "accelerator only): pre-partition augmentation runs on the "
+                "accelerator, which costs ~40% scene-loop throughput on "
+                "tunneled backends (three extra roundtrips per step)",
+                RuntimeWarning, stacklevel=2)
             _aug_dev = None
         _seed0 = int(cfg.train.seed) + 71_717
 
@@ -316,11 +323,20 @@ def train_spatial(cfg: Config, mesh_devices: int,
         else:
             groups = [[s_i] for s_i in order]
         for grp in groups:
-            xyz = np.stack([train_ds.points[i] for i in grp])
-            labels = np.stack([train_ds.labels[i] for i in grp])
-            feat = (np.stack([train_ds.features[i] for i in grp])
-                    if train_ds.features is not None else None)
-            masks = np.repeat(mask_full[None], len(grp), 0)
+            if scene_batch or aug_fn is not None:
+                xyz = np.stack([train_ds.points[i] for i in grp])
+                labels = np.stack([train_ds.labels[i] for i in grp])
+                feat = (np.stack([train_ds.features[i] for i in grp])
+                        if train_ds.features is not None else None)
+                masks = np.repeat(mask_full[None], len(grp), 0)
+            else:
+                # hot default path (per-scene, no augment): pass the
+                # dataset arrays by reference, no per-step host copies
+                xyz = train_ds.points[grp[0]][None]
+                labels = train_ds.labels[grp[0]][None]
+                feat = (train_ds.features[grp[0]][None]
+                        if train_ds.features is not None else None)
+                masks = mask_full[None]
             if aug_fn is not None:
                 # F-14 over the WHOLE scene, before partitioning: same
                 # jitted op set as the crop-DP step (rotation precedes the

@@ -243,9 +243,11 @@ def main():
     ap.add_argument("--seed", type=int, default=0,
                     help="train seed (field arm: paired-seed spread)")
     ap.add_argument("--override", action="append", default=[],
-                    help="dotted config override k=v (field/spatial arms; e.g. "
-                         "model.dtype=bfloat16 to measure a known "
-                         "regression against the gate)")
+                    help="dotted config override k=v, applied to the seg, "
+                         "spatial, and field arms (cls/s3dis ignore it); "
+                         "e.g. model.dtype=bfloat16 to measure a known "
+                         "regression against the gate, or data.augment=true "
+                         "to reproduce the augmented arms of the 2x2")
     args = ap.parse_args()
     if args.run in ("cls", "both", "all"):
         run_cls(args.epochs_cls)
