@@ -64,7 +64,14 @@ def _slab_edges(x: np.ndarray, n_shards: int) -> np.ndarray:
     auto-sized capacity would under-provision and partitioning would raise."""
     edges = np.linspace(float(x.min()), float(x.max()), n_shards + 1)
     edges[0], edges[-1] = -np.inf, np.inf
-    return edges
+    # f32 at the source: the jitted forwards consume edges in f32 anyway
+    # (x64 disabled), so this keeps host-side slab assignment bit-consistent
+    # with the device's owned-band math — and float64 host arrays trip a
+    # dtype-reinterpretation bug in jax's multihost assert_equal when
+    # device_put onto a multi-process mesh (a [B, D+1] f64 edges stack is
+    # "expected" as a [2B, D+1] f32 view and the equality check always
+    # fails; see tests/test_multihost.py's 2-D section)
+    return edges.astype(np.float32)
 
 
 def suggest_capacity(xyz: np.ndarray, mask: np.ndarray, n_shards: int,

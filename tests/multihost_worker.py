@@ -56,7 +56,21 @@ def tier3_logits():
     step = make_spatial_train_step(cfg, mesh, tier="resident_ml")
     _, m = step(replicate_tree(state, mesh),
                 batch, replicate_tree(jax.random.PRNGKey(3), mesh))
-    return logits, float(m["loss"]), float(m["acc"])
+
+    # the 2-D composition (F-19 ∘ F-22): 2 scenes × 2 slabs on the same 4
+    # devices — in the 2-process run each scene's spatial ring and the
+    # cross-scene batch axis both cross the process boundary
+    from gridgcn_tpu.parallel.mesh import make_mesh2d
+    from gridgcn_tpu.parallel.resident_ml import (
+        resident_ml_seg_predict_scenes)
+
+    xyz2 = rng.uniform(0, 4, size=(512, 3)).astype(np.float32)
+    scenes = np.stack([xyz, xyz2])
+    masks = np.ones((2, 512), bool)
+    logits2d = resident_ml_seg_predict_scenes(
+        cfg, variables, scenes, masks, make_mesh2d(2, 2),
+        rng=jax.random.PRNGKey(11))
+    return logits, logits2d, float(m["loss"]), float(m["acc"])
 
 
 def golden_main(path):
@@ -65,8 +79,8 @@ def golden_main(path):
     jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
-    logits, loss, acc = tier3_logits()
-    np.savez(path, logits=logits, loss=loss, acc=acc)
+    logits, logits2d, loss, acc = tier3_logits()
+    np.savez(path, logits=logits, logits2d=logits2d, loss=loss, acc=acc)
     print("golden: OK", flush=True)
 
 
@@ -129,9 +143,11 @@ def main():
         # spans both processes' devices (slab 1↔2 neighbors live on
         # different processes); fetch_global all-gathers the stitched
         # logits back to every host. Must match the single-process golden.
-        logits, loss, acc = tier3_logits()
+        logits, logits2d, loss, acc = tier3_logits()
         golden = np.load(golden_path)
         np.testing.assert_allclose(logits, golden["logits"],
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(logits2d, golden["logits2d"],
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose([loss, acc],
                                    [golden["loss"], golden["acc"]],
